@@ -1,0 +1,58 @@
+"""Resize ops with torch-parity semantics.
+
+The propagation metric path is sensitive to interpolation details
+(SURVEY §7 "hard parts"): the reference downsamples the first-frame
+annotation with PIL-nearest (mmaction/models/common/utils.py:25-42) and
+upsamples logits with ``F.interpolate(mode='bilinear',
+align_corners=False)`` (vanilla_tracker.py:162-166).
+
+- ``resize_bilinear`` == torch bilinear align_corners=False (half-pixel
+  centers) == ``jax.image.resize(method='linear')``.
+- ``pil_nearest_resize`` is a host-side numpy/PIL helper — PIL's NEAREST
+  sampling grid differs from both torch and jax nearest; it must be
+  bit-matched for J&F parity.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of ``(N, H, W, C)`` to ``(N, *size, C)``;
+    half-pixel centers (torch align_corners=False parity)."""
+    n, h, w, c = x.shape
+    if (h, w) == tuple(size):
+        return x
+    return jax.image.resize(x, (n, size[0], size[1], c), method='linear')
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize of ``(N, H, W, C)`` matching torch
+    ``F.interpolate(mode='nearest')`` (floor of src index = dst * scale)."""
+    n, h, w, c = x.shape
+    if (h, w) == tuple(size):
+        return x
+    rows = jnp.floor(jnp.arange(size[0]) * (h / size[0])).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(size[1]) * (w / size[1])).astype(jnp.int32)
+    rows = jnp.clip(rows, 0, h - 1)
+    cols = jnp.clip(cols, 0, w - 1)
+    return x[:, rows][:, :, cols]
+
+
+def pil_nearest_resize(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Host-side PIL NEAREST resize of a 2-D array to ``size=(H, W)``.
+
+    Parity target: mmcv.imresize(..., interpolation='nearest',
+    backend='pillow') as used by ``pil_nearest_interpolate``
+    (reference common/utils.py:25-42).
+    """
+    from PIL import Image
+    dtype = img.dtype
+    pil = Image.fromarray(np.ascontiguousarray(img.astype(np.float32)))
+    resized = pil.resize((size[1], size[0]), resample=Image.NEAREST)
+    return np.asarray(resized).astype(dtype)
