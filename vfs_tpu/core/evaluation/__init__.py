@@ -1,0 +1,12 @@
+from .accuracy import (confusion_matrix, mean_average_precision,
+                       mean_class_accuracy, mean_iou, top_k_accuracy)
+from .davis import (aggregate_metrics, db_eval_boundary, db_eval_iou,
+                    db_statistics, evaluate_semisupervised, f_measure_frame,
+                    seg2bmap)
+
+__all__ = [
+    'confusion_matrix', 'mean_average_precision', 'mean_class_accuracy',
+    'mean_iou', 'top_k_accuracy', 'aggregate_metrics', 'db_eval_boundary',
+    'db_eval_iou', 'db_statistics', 'evaluate_semisupervised',
+    'f_measure_frame', 'seg2bmap'
+]

@@ -1,0 +1,14 @@
+from . import pipelines  # noqa: F401  (register)
+from .base import BaseDataset
+from .builder import DataLoader, build_dataloader, build_dataset
+from .dataset_wrappers import RepeatDataset
+from .davis_dataset import DavisDataset
+from .rawframe_dataset import RawframeDataset
+from .registry import DATASETS, PIPELINES
+from .video_dataset import VideoDataset
+
+__all__ = [
+    'BaseDataset', 'DataLoader', 'build_dataloader', 'build_dataset',
+    'RepeatDataset', 'DavisDataset', 'RawframeDataset', 'DATASETS',
+    'PIPELINES', 'VideoDataset'
+]

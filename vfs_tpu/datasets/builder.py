@@ -1,0 +1,140 @@
+"""Dataset + loader builders (reference: mmaction/datasets/builder.py).
+
+The loader is a host-side threaded prefetcher producing fixed-shape numpy
+batches (the reference uses torch DataLoader worker processes + decord;
+TPU-VM hosts feed the device via async prefetch, SURVEY §2.9)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..utils import build_from_cfg
+from .registry import DATASETS
+
+
+def build_dataset(cfg, default_args=None):
+    return build_from_cfg(cfg, DATASETS, default_args)
+
+
+class EpochSampler:
+    """Deterministic per-epoch shuffling with optional multi-process
+    sharding + pad-to-divisible (reference
+    datasets/samplers/distributed_sampler.py:5-33)."""
+
+    def __init__(self, dataset_len: int, shuffle: bool = True, seed: int = 0,
+                 num_shards: int = 1, shard_index: int = 0):
+        self.dataset_len = dataset_len
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.num_samples = -(-dataset_len // num_shards)
+        self.total_size = self.num_samples * num_shards
+
+    def indices(self, epoch: int) -> np.ndarray:
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            order = rng.permutation(self.dataset_len)
+        else:
+            order = np.arange(self.dataset_len)
+        # pad to divisible by wrapping (reference :26-28)
+        pad = self.total_size - len(order)
+        if pad > 0:
+            order = np.concatenate([order, order[:pad]])
+        return order[self.shard_index:self.total_size:self.num_shards]
+
+
+class DataLoader:
+    """Threaded batching loader.
+
+    Collates samples by stacking numpy arrays; non-array fields become
+    lists. ``drop_last`` mirrors the reference train loader.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, drop_last: bool = False,
+                 seed: int = 0, num_shards: int = 1, shard_index: int = 0,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.sampler = EpochSampler(len(dataset), shuffle, seed, num_shards,
+                                    shard_index)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = self.sampler.num_samples
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _collate(self, samples):
+        batch = {}
+        for key in samples[0]:
+            vals = [s[key] for s in samples]
+            if isinstance(vals[0], np.ndarray):
+                batch[key] = np.stack(vals)
+            elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+                batch[key] = np.asarray(vals)
+            else:
+                batch[key] = vals
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self.sampler.indices(self.epoch)
+        nbatch = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nbatch)]
+        out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        idx_q: 'queue.Queue' = queue.Queue()
+        for i, b in enumerate(batches):
+            idx_q.put((i, b))
+        results = {}
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                try:
+                    i, b = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.dataset[int(j)] for j in b]
+                with lock:
+                    results[i] = self._collate(samples)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        served = 0
+        import time
+        while served < nbatch:
+            with lock:
+                ready = served in results
+            if ready:
+                with lock:
+                    batch = results.pop(served)
+                served += 1
+                yield batch
+            else:
+                time.sleep(0.002)
+        del out_q
+
+
+def build_dataloader(dataset, videos_per_gpu: int, workers_per_gpu: int,
+                     shuffle: bool = True, drop_last: bool = False,
+                     seed: Optional[int] = None, num_shards: int = 1,
+                     shard_index: int = 0, **kwargs) -> DataLoader:
+    return DataLoader(dataset, batch_size=videos_per_gpu,
+                      shuffle=shuffle, num_workers=workers_per_gpu,
+                      drop_last=drop_last, seed=seed or 0,
+                      num_shards=num_shards, shard_index=shard_index)

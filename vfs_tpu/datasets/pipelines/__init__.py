@@ -1,0 +1,16 @@
+from .augmentations import (CenterCrop, ColorJitter, Flip, Normalize,
+                            RandomGaussianBlur, RandomGrayScale,
+                            RandomResizedCrop, Resize)
+from .compose import Compose
+from .formating import Collect, FormatShape, ToTensor, Transpose
+from .loading import (Clip2Frame, DecordDecode, DecordInit, DuplicateFrames,
+                      Frame2Clip, OpenCVDecode, OpenCVInit, RawFrameDecode,
+                      SampleFrames, SequentialSampleFrames)
+
+__all__ = [
+    'CenterCrop', 'ColorJitter', 'Flip', 'Normalize', 'RandomGaussianBlur',
+    'RandomGrayScale', 'RandomResizedCrop', 'Resize', 'Compose', 'Collect',
+    'FormatShape', 'ToTensor', 'Transpose', 'Clip2Frame', 'DecordDecode',
+    'DecordInit', 'DuplicateFrames', 'Frame2Clip', 'OpenCVDecode',
+    'OpenCVInit', 'RawFrameDecode', 'SampleFrames', 'SequentialSampleFrames'
+]

@@ -1,0 +1,345 @@
+"""Geometric / photometric transforms (host-side numpy+cv2).
+
+Re-implements the reference transform vocabulary (reference:
+mmaction/datasets/pipelines/augmentations.py) including VFS's per-frame
+re-randomization extension: ``same_on_clip=False`` samples new params per
+frame, ``same_across_clip=False`` re-samples at clip boundaries
+(reference :263-309, :621-664 — the core augmentation idea of frame-level
+similarity learning).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from ..registry import PIPELINES
+
+
+def _rescale_size(old_size, scale):
+    """mmcv.rescale_size parity: fit (w, h) into scale keeping ratio."""
+    w, h = old_size
+    if isinstance(scale, (float, int)) and not isinstance(scale, bool):
+        scale_factor = scale
+    elif isinstance(scale, tuple):
+        max_long_edge = max(scale)
+        max_short_edge = min(scale)
+        scale_factor = min(max_long_edge / max(h, w),
+                           max_short_edge / min(h, w))
+    else:
+        raise TypeError(f'scale must be number or tuple, got {type(scale)}')
+    new_w = int(w * scale_factor + 0.5)
+    new_h = int(h * scale_factor + 0.5)
+    return new_w, new_h
+
+
+def _imresize(img, size_wh, interpolation='bilinear'):
+    import cv2
+    inter = {'bilinear': cv2.INTER_LINEAR, 'nearest': cv2.INTER_NEAREST,
+             'bicubic': cv2.INTER_CUBIC, 'area': cv2.INTER_AREA}[
+                 interpolation]
+    return cv2.resize(img, size_wh, interpolation=inter)
+
+
+def _pil_nearest_imresize(img, size_wh):
+    from PIL import Image
+    pil = Image.fromarray(img)
+    return np.asarray(pil.resize(size_wh, Image.NEAREST))
+
+
+def _should_generate_new(i, results, same_on_clip, same_across_clip,
+                         same_clip_indices, same_frame_indices):
+    """Per-frame re-randomization gate (reference augmentations.py:285-300)."""
+    clip_len = results['clip_len']
+    is_new_clip = (not same_across_clip) and i % clip_len == 0 and i > 0
+    generate_new = (not same_on_clip) or is_new_clip
+    if same_clip_indices is not None:
+        keep_same = i // clip_len in same_clip_indices
+        generate_new = generate_new and not keep_same
+    if same_frame_indices is not None:
+        keep_same = i % clip_len in same_frame_indices
+        generate_new = generate_new and not keep_same
+    return generate_new
+
+
+@PIPELINES.register_module()
+class RandomResizedCrop:
+    """Random area/aspect crop (reference augmentations.py:171-330)."""
+
+    def __init__(self, area_range=(0.08, 1.0),
+                 aspect_ratio_range=(3 / 4, 4 / 3), same_on_clip=True,
+                 same_across_clip=True, same_clip_indices=None,
+                 same_frame_indices=None):
+        self.area_range = area_range
+        self.aspect_ratio_range = aspect_ratio_range
+        self.same_on_clip = same_on_clip
+        self.same_across_clip = same_across_clip
+        self.same_clip_indices = same_clip_indices
+        self.same_frame_indices = same_frame_indices
+
+    @staticmethod
+    def get_crop_bbox(img_shape, area_range, aspect_ratio_range,
+                      max_attempts=10):
+        img_h, img_w = img_shape
+        area = img_h * img_w
+        min_ar, max_ar = aspect_ratio_range
+        aspect_ratios = np.exp(np.random.uniform(
+            np.log(min_ar), np.log(max_ar), size=max_attempts))
+        target_areas = np.random.uniform(*area_range,
+                                         size=max_attempts) * area
+        candidate_w = np.round(np.sqrt(target_areas *
+                                       aspect_ratios)).astype(np.int32)
+        candidate_h = np.round(np.sqrt(target_areas /
+                                       aspect_ratios)).astype(np.int32)
+        for i in range(max_attempts):
+            crop_w, crop_h = candidate_w[i], candidate_h[i]
+            if crop_h <= img_h and crop_w <= img_w:
+                x = random.randint(0, img_w - crop_w)
+                y = random.randint(0, img_h - crop_h)
+                return x, y, x + crop_w, y + crop_h
+        crop_size = min(img_h, img_w)
+        x = (img_w - crop_size) // 2
+        y = (img_h - crop_size) // 2
+        return x, y, x + crop_size, y + crop_size
+
+    def __call__(self, results):
+        img_h, img_w = results['img_shape']
+        bbox = self.get_crop_bbox((img_h, img_w), self.area_range,
+                                  self.aspect_ratio_range)
+        for i, img in enumerate(results['imgs']):
+            if i > 0 and _should_generate_new(
+                    i, results, self.same_on_clip, self.same_across_clip,
+                    self.same_clip_indices, self.same_frame_indices):
+                bbox = self.get_crop_bbox((img_h, img_w), self.area_range,
+                                          self.aspect_ratio_range)
+            left, top, right, bottom = bbox
+            results['imgs'][i] = img[top:bottom, left:right]
+        left, top, right, bottom = bbox
+        results['crop_bbox'] = np.array([left, top, right, bottom])
+        results['img_shape'] = (bottom - top, right - left)
+        return results
+
+
+@PIPELINES.register_module()
+class CenterCrop:
+    """Center crop (reference augmentations.py:798-868)."""
+
+    def __init__(self, crop_size):
+        self.crop_size = (crop_size, crop_size) if isinstance(
+            crop_size, int) else tuple(crop_size)
+
+    def __call__(self, results):
+        img_h, img_w = results['img_shape']
+        crop_w, crop_h = self.crop_size
+        left = (img_w - crop_w) // 2
+        top = (img_h - crop_h) // 2
+        right, bottom = left + crop_w, top + crop_h
+        results['imgs'] = [img[top:bottom, left:right]
+                           for img in results['imgs']]
+        results['crop_bbox'] = np.array([left, top, right, bottom])
+        results['img_shape'] = (bottom - top, right - left)
+        return results
+
+
+@PIPELINES.register_module()
+class Resize:
+    """Resize (reference augmentations.py:487-597). ``scale=(-1, N)`` with
+    keep_ratio rescales the short side to N. Also resizes ``ref_seg_map``:
+    PIL-nearest for uint8 label maps, cv2-bilinear for float maps
+    (:577-587 — the PIL-nearest choice is a J&F parity trap)."""
+
+    def __init__(self, scale, keep_ratio=True, interpolation='bilinear'):
+        if isinstance(scale, tuple):
+            max_long = max(scale)
+            if min(scale) == -1:
+                scale = (np.inf, max_long)
+        self.scale = scale
+        self.keep_ratio = keep_ratio
+        self.interpolation = interpolation
+
+    def __call__(self, results):
+        if 'scale_factor' not in results:
+            results['scale_factor'] = np.array([1, 1], dtype=np.float32)
+        img_h, img_w = results['img_shape']
+        if self.keep_ratio:
+            new_w, new_h = _rescale_size((img_w, img_h), self.scale)
+        else:
+            new_w, new_h = self.scale
+        scale_factor = np.array([new_w / img_w, new_h / img_h],
+                                dtype=np.float32)
+        results['img_shape'] = (new_h, new_w)
+        results['keep_ratio'] = self.keep_ratio
+        results['scale_factor'] = results['scale_factor'] * scale_factor
+        results['imgs'] = [
+            _imresize(img, (new_w, new_h), self.interpolation)
+            for img in results['imgs']
+        ]
+        if 'ref_seg_map' in results:
+            if results['ref_seg_map'].dtype == np.uint8:
+                results['ref_seg_map'] = _pil_nearest_imresize(
+                    results['ref_seg_map'], (new_w, new_h))
+            else:
+                results['ref_seg_map'] = _imresize(
+                    results['ref_seg_map'], (new_w, new_h), 'bilinear')
+        return results
+
+
+@PIPELINES.register_module()
+class Flip:
+    """Horizontal/vertical flip with per-frame re-randomization
+    (reference augmentations.py:600-680)."""
+
+    def __init__(self, flip_ratio=0.5, direction='horizontal',
+                 same_on_clip=True, same_across_clip=True,
+                 same_clip_indices=None, same_frame_indices=None):
+        assert direction in ('horizontal', 'vertical')
+        self.flip_ratio = flip_ratio
+        self.direction = direction
+        self.same_on_clip = same_on_clip
+        self.same_across_clip = same_across_clip
+        self.same_clip_indices = same_clip_indices
+        self.same_frame_indices = same_frame_indices
+
+    def __call__(self, results):
+        flip = np.random.rand() < self.flip_ratio
+        results['flip'] = flip
+        results['flip_direction'] = self.direction
+        axis = 1 if self.direction == 'horizontal' else 0
+        for i in range(len(results['imgs'])):
+            if i > 0 and _should_generate_new(
+                    i, results, self.same_on_clip, self.same_across_clip,
+                    self.same_clip_indices, self.same_frame_indices):
+                flip = np.random.rand() < self.flip_ratio
+            if flip:
+                results['imgs'][i] = np.flip(results['imgs'][i],
+                                             axis=axis).copy()
+        return results
+
+
+@PIPELINES.register_module()
+class Normalize:
+    """Mean/std normalize RGB frames into a float32 (T, H, W, C) stack
+    (reference augmentations.py:711-758)."""
+
+    def __init__(self, mean, std, to_bgr=False, adjust_magnitude=False):
+        self.mean = np.array(mean, dtype=np.float32)
+        self.std = np.array(std, dtype=np.float32)
+        self.to_bgr = to_bgr
+
+    def __call__(self, results):
+        imgs = np.stack(results['imgs']).astype(np.float32)
+        if self.to_bgr:
+            imgs = imgs[..., ::-1]
+        imgs = (imgs - self.mean) / self.std
+        results['imgs'] = imgs
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
+                                       to_bgr=self.to_bgr)
+        return results
+
+
+@PIPELINES.register_module()
+class ColorJitter:
+    """Brightness/contrast/saturation/hue jitter with probability ``p``
+    (reference augmentations.py:1280-1320, torchvision parameterization)."""
+
+    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0, p=1.0,
+                 same_on_clip=True, same_across_clip=True):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.p = p
+        self.same_on_clip = same_on_clip
+        self.same_across_clip = same_across_clip
+
+    def _sample(self):
+        if np.random.rand() >= self.p:
+            return None
+        b = np.random.uniform(max(0, 1 - self.brightness),
+                              1 + self.brightness)
+        c = np.random.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+        s = np.random.uniform(max(0, 1 - self.saturation),
+                              1 + self.saturation)
+        h = np.random.uniform(-self.hue, self.hue)
+        return (b, c, s, h)
+
+    @staticmethod
+    def _apply(img, params):
+        import cv2
+        if params is None:
+            return img
+        b, c, s, h = params
+        img = img.astype(np.float32)
+        img = img * b  # brightness
+        mean = img.mean()
+        img = (img - mean) * c + mean  # contrast
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                           cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv[..., 1] *= s
+        hsv[..., 0] = (hsv[..., 0] + h * 180) % 180
+        hsv = np.clip(hsv, 0, [179, 255, 255]).astype(np.uint8)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+    def __call__(self, results):
+        params = self._sample()
+        for i in range(len(results['imgs'])):
+            if i > 0 and _should_generate_new(
+                    i, results, self.same_on_clip, self.same_across_clip,
+                    None, None):
+                params = self._sample()
+            results['imgs'][i] = self._apply(results['imgs'][i], params)
+        return results
+
+
+@PIPELINES.register_module()
+class RandomGrayScale:
+    """Random grayscale (reference augmentations.py:1257-1278)."""
+
+    def __init__(self, p=0.2, same_on_clip=True, same_across_clip=True):
+        self.p = p
+        self.same_on_clip = same_on_clip
+        self.same_across_clip = same_across_clip
+
+    def __call__(self, results):
+        import cv2
+        gray = np.random.rand() < self.p
+        for i in range(len(results['imgs'])):
+            if i > 0 and _should_generate_new(
+                    i, results, self.same_on_clip, self.same_across_clip,
+                    None, None):
+                gray = np.random.rand() < self.p
+            if gray:
+                g = cv2.cvtColor(results['imgs'][i], cv2.COLOR_RGB2GRAY)
+                results['imgs'][i] = np.stack([g, g, g], axis=-1)
+        return results
+
+
+@PIPELINES.register_module()
+class RandomGaussianBlur:
+    """Random gaussian blur (reference augmentations.py:1224-1255, PIL
+    GaussianBlur with radius ~ U(0.1, 2.0))."""
+
+    def __init__(self, p=0.5, sigma_range=(0.1, 2.0), same_on_clip=True,
+                 same_across_clip=True):
+        self.p = p
+        self.sigma_range = sigma_range
+        self.same_on_clip = same_on_clip
+        self.same_across_clip = same_across_clip
+
+    def __call__(self, results):
+        import cv2
+        def sample():
+            if np.random.rand() >= self.p:
+                return None
+            return np.random.uniform(*self.sigma_range)
+        sigma = sample()
+        for i in range(len(results['imgs'])):
+            if i > 0 and _should_generate_new(
+                    i, results, self.same_on_clip, self.same_across_clip,
+                    None, None):
+                sigma = sample()
+            if sigma is not None:
+                results['imgs'][i] = cv2.GaussianBlur(
+                    results['imgs'][i], (0, 0), sigma)
+        return results

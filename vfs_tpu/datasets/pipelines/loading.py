@@ -1,0 +1,316 @@
+"""Frame samplers and decoders (host-side, numpy/cv2/PIL).
+
+Re-implements the decode path of the reference pipeline vocabulary
+(reference: mmaction/datasets/pipelines/loading.py). Decode stays on the
+host CPU — the TPU consumes fixed-shape normalized batches (SURVEY §2.9:
+decord has no TPU analogue; cv2's FFmpeg backend is the host decoder).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import numpy as np
+
+from ..registry import PIPELINES
+
+
+@PIPELINES.register_module()
+class SampleFrames:
+    """Sample clips of ``clip_len`` frames (reference loading.py:17-190).
+
+    Supports train (random offsets) and test (centered offsets) modes, the
+    ``loop`` out-of-bound handling used by the VFS configs, and
+    ``frame_interval=0`` (all frames of a clip at the same index; VFS r18
+    config uses clip_len=1 so interval is irrelevant).
+    """
+
+    def __init__(self, clip_len, frame_interval=1, num_clips=1,
+                 temporal_jitter=False, twice_sample=False,
+                 out_of_bound_opt='loop', test_mode=False,
+                 start_index=None):
+        self.clip_len = clip_len
+        self.frame_interval = frame_interval
+        self.num_clips = num_clips
+        self.temporal_jitter = temporal_jitter
+        self.twice_sample = twice_sample
+        self.out_of_bound_opt = out_of_bound_opt
+        self.test_mode = test_mode
+        self.start_index = start_index
+        assert out_of_bound_opt in ('loop', 'repeat_last')
+
+    def _get_train_clips(self, num_frames):
+        ori_clip_len = self.clip_len * max(self.frame_interval, 1)
+        avg_interval = (num_frames - ori_clip_len + 1) // self.num_clips
+        if avg_interval > 0:
+            base_offsets = np.arange(self.num_clips) * avg_interval
+            clip_offsets = base_offsets + np.random.randint(
+                avg_interval, size=self.num_clips)
+        elif num_frames > max(self.num_clips, ori_clip_len):
+            clip_offsets = np.sort(
+                np.random.randint(num_frames - ori_clip_len + 1,
+                                  size=self.num_clips))
+        elif avg_interval == 0:
+            ratio = (num_frames - ori_clip_len + 1.0) / self.num_clips
+            clip_offsets = np.around(np.arange(self.num_clips) * ratio)
+        else:
+            clip_offsets = np.zeros((self.num_clips,), np.int64)
+        return clip_offsets
+
+    def _get_test_clips(self, num_frames):
+        ori_clip_len = self.clip_len * max(self.frame_interval, 1)
+        avg_interval = (num_frames - ori_clip_len + 1) / float(self.num_clips)
+        if num_frames > ori_clip_len - 1:
+            base_offsets = np.arange(self.num_clips) * avg_interval
+            clip_offsets = (base_offsets + avg_interval / 2.0).astype(np.int64)
+            if self.twice_sample:
+                clip_offsets = np.concatenate(
+                    [clip_offsets, base_offsets.astype(np.int64)])
+        else:
+            clip_offsets = np.zeros((self.num_clips,), np.int64)
+        return clip_offsets
+
+    def __call__(self, results):
+        total_frames = results['total_frames']
+        if self.test_mode:
+            clip_offsets = self._get_test_clips(total_frames)
+        else:
+            clip_offsets = self._get_train_clips(total_frames)
+        if self.frame_interval == 0:
+            frame_inds = np.repeat(clip_offsets[:, None], self.clip_len,
+                                   axis=1)
+        else:
+            frame_inds = clip_offsets[:, None] + np.arange(
+                self.clip_len)[None, :] * self.frame_interval
+        frame_inds = np.concatenate(frame_inds)
+        if self.temporal_jitter:
+            perframe_offsets = np.random.randint(
+                max(self.frame_interval, 1), size=len(frame_inds))
+            frame_inds += perframe_offsets
+        frame_inds = frame_inds.reshape((-1, self.clip_len))
+        if self.out_of_bound_opt == 'loop':
+            frame_inds = np.mod(frame_inds, max(total_frames, 1))
+        else:
+            safe_inds = frame_inds < total_frames
+            unsafe_inds = 1 - safe_inds
+            last_ind = np.max(safe_inds * frame_inds, axis=1)
+            new_inds = (safe_inds * frame_inds +
+                        (unsafe_inds.T * last_ind).T)
+            frame_inds = new_inds
+        start_index = self.start_index if self.start_index is not None \
+            else results.get('start_index', 0)
+        frame_inds = np.concatenate(frame_inds) + start_index
+        results['frame_inds'] = frame_inds.astype(np.int64)
+        results['clip_len'] = self.clip_len
+        results['frame_interval'] = self.frame_interval
+        results['num_clips'] = self.num_clips
+        return results
+
+
+@PIPELINES.register_module()
+class SequentialSampleFrames:
+    """All frames in order (eval; reference loading.py:432-452)."""
+
+    def __init__(self, frame_interval=1):
+        self.frame_interval = frame_interval
+
+    def __call__(self, results):
+        total_frames = results['total_frames']
+        frame_inds = np.arange(0, total_frames, self.frame_interval)
+        frame_inds += results.get('start_index', 0)
+        results['frame_inds'] = frame_inds
+        results['clip_len'] = total_frames
+        results['frame_interval'] = self.frame_interval
+        results['num_clips'] = 1
+        return results
+
+
+@PIPELINES.register_module()
+class DuplicateFrames:
+    """Duplicate each clip ``times`` times (reference loading.py:190-206)."""
+
+    def __init__(self, times=2):
+        self.times = times
+
+    def __call__(self, results):
+        frame_inds = results['frame_inds'].reshape(-1, results['clip_len'])
+        frame_inds = np.tile(frame_inds, (1, self.times)).reshape(-1)
+        results['frame_inds'] = frame_inds
+        results['num_clips'] *= self.times
+        return results
+
+
+@PIPELINES.register_module()
+class Frame2Clip:
+    """Treat N sampled frames as one N-frame clip (loading.py:209-218)."""
+
+    def __call__(self, results):
+        results['clip_len'] = results['clip_len'] * results['num_clips']
+        results['num_clips'] = 1
+        return results
+
+
+@PIPELINES.register_module()
+class Clip2Frame:
+    """Regroup K 1-frame clips into K/clip_len clips of clip_len frames
+    (reference loading.py:221-233; the VFS r18 config samples 8 one-frame
+    clips then groups them into 2 clips x 4 frames)."""
+
+    def __init__(self, clip_len=2):
+        self.clip_len = clip_len
+
+    def __call__(self, results):
+        assert results['num_clips'] % self.clip_len == 0
+        results['num_clips'] = results['num_clips'] // self.clip_len
+        results['clip_len'] = self.clip_len
+        return results
+
+
+@PIPELINES.register_module()
+class OpenCVInit:
+    """Open a video with cv2 (the reference uses decord, loading.py:801-838;
+    decord is unavailable here — cv2+FFmpeg is the host decoder)."""
+
+    def __init__(self, io_backend='disk', **kwargs):
+        assert io_backend == 'disk'
+
+    def __call__(self, results):
+        import cv2
+        cap = cv2.VideoCapture(results['filename'])
+        if not cap.isOpened():
+            raise IOError(f'cannot open video {results["filename"]}')
+        results['video_reader'] = cap
+        results['total_frames'] = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        return results
+
+
+# the VFS configs say DecordInit/DecordDecode; alias to the cv2 decoder so
+# the shipped configs run unchanged.
+@PIPELINES.register_module(name='DecordInit')
+class DecordInit(OpenCVInit):
+    pass
+
+
+@PIPELINES.register_module()
+class OpenCVDecode:
+    """Decode the sampled ``frame_inds`` with cv2 (sequential seek; decodes
+    each unique index once, like the reference's unique-index map,
+    loading.py:855-876)."""
+
+    def __call__(self, results):
+        import cv2
+        cap = results['video_reader']
+        frame_inds = results['frame_inds']
+        if frame_inds.ndim != 1:
+            frame_inds = np.squeeze(frame_inds)
+        unique_inds = np.unique(frame_inds)
+        frames = {}
+        # sequential decode up to max index (cv2 random seek is unreliable)
+        max_ind = int(unique_inds.max())
+        cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        idx = 0
+        ok = True
+        last = None
+        while idx <= max_ind and ok:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            last = frame
+            if idx in unique_inds:
+                frames[idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            idx += 1
+        if last is not None:
+            for i in unique_inds:
+                if int(i) not in frames:  # short video: repeat last frame
+                    frames[int(i)] = cv2.cvtColor(last, cv2.COLOR_BGR2RGB)
+        cap.release()
+        results['video_reader'] = None
+        imgs = [frames[int(i)] for i in frame_inds]
+        results['imgs'] = imgs
+        results['original_shape'] = imgs[0].shape[:2]
+        results['img_shape'] = imgs[0].shape[:2]
+        return results
+
+
+@PIPELINES.register_module(name='DecordDecode')
+class DecordDecode(OpenCVDecode):
+    pass
+
+
+@PIPELINES.register_module()
+class RawFrameDecode:
+    """Load frames from a directory of JPEGs; also loads the first-frame
+    annotation into ``ref_seg_map`` (reference loading.py:977-1069).
+    """
+
+    def __init__(self, io_backend='disk', decoding_backend='cv2', **kwargs):
+        assert io_backend == 'disk'
+
+    def __call__(self, results):
+        import cv2
+        directory = results['frame_dir']
+        filename_tmpl = results['filename_tmpl']
+        offset = results.get('offset', 0)
+        frame_inds = results['frame_inds']
+        if frame_inds.ndim != 1:
+            frame_inds = np.squeeze(frame_inds)
+        imgs = []
+        for frame_idx in frame_inds:
+            frame_idx = int(frame_idx) + offset
+            if 'frame_list' in results:
+                filepath = osp.join(directory,
+                                    results['frame_list'][frame_idx])
+            else:
+                filepath = osp.join(directory,
+                                    filename_tmpl.format(frame_idx))
+            img = cv2.imread(filepath, cv2.IMREAD_COLOR)
+            if img is None:
+                raise IOError(f'cannot read frame {filepath}')
+            imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        results['imgs'] = imgs
+        results['original_shape'] = imgs[0].shape[:2]
+        results['img_shape'] = imgs[0].shape[:2]
+        if 'seg_map' in results:
+            # palette PNG: load the index map (PIL, flag='unchanged' parity
+            # with reference loading.py:1048-1054)
+            from PIL import Image
+            seg = np.asarray(Image.open(results['seg_map']))
+            results['ref_seg_map'] = seg
+            assert seg.shape[:2] == results['img_shape']
+        if 'pose_coord' in results:
+            pose_coord = results['pose_coord']
+            num_poses = pose_coord.shape[1]
+            height, width = imgs[0].shape[:2]
+            pose_map = np.zeros((height, width, num_poses), np.float32)
+            sigma = results['sigma']
+            for j in range(num_poses):
+                if sigma > 0:
+                    draw_label_map(pose_map[:, :, j], pose_coord[:, j], sigma)
+                else:
+                    tx, ty = int(pose_coord[0, j]), int(pose_coord[1, j])
+                    if 0 <= tx < width and 0 <= ty < height:
+                        pose_map[ty, tx, j] = 1.0
+            results['ref_seg_map'] = pose_map
+        return results
+
+
+def draw_label_map(img, pt, sigma):
+    """Draw an unnormalized 2-D gaussian centered at ``pt`` (reference
+    loading.py:1077-1103, used for JHMDB pose propagation)."""
+    ul = [int(pt[0] - 3 * sigma), int(pt[1] - 3 * sigma)]
+    br = [int(pt[0] + 3 * sigma + 1), int(pt[1] + 3 * sigma + 1)]
+    if (ul[0] >= img.shape[1] or ul[1] >= img.shape[0] or br[0] < 0
+            or br[1] < 0):
+        return img
+    size = 6 * sigma + 1
+    x = np.arange(0, size, 1, float)
+    y = x[:, np.newaxis]
+    x0 = y0 = size // 2
+    g = np.exp(-((x - x0)**2 + (y - y0)**2) / (2 * sigma**2))
+    g_x = max(0, -ul[0]), min(br[0], img.shape[1]) - ul[0]
+    g_y = max(0, -ul[1]), min(br[1], img.shape[0]) - ul[1]
+    img_x = max(0, ul[0]), min(br[0], img.shape[1])
+    img_y = max(0, ul[1]), min(br[1], img.shape[0])
+    img[img_y[0]:img_y[1], img_x[0]:img_x[1]] = \
+        g[g_y[0]:g_y[1], g_x[0]:g_x[1]]
+    return img

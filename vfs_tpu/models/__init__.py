@@ -1,4 +1,5 @@
 from . import backbones  # noqa: F401  (register)
+from . import trackers  # noqa: F401  (register)
 from .builder import (build_backbone, build_head, build_loss, build_model,
                       build_tracker)
 from .registry import (BACKBONES, HEADS, LOCALIZERS, LOSSES, RECOGNIZERS,

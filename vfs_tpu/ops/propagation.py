@@ -1,0 +1,202 @@
+"""Whole-video label propagation engine (TPU-first).
+
+Re-designs the reference's per-frame python propagation loop
+(reference: mmaction/models/trackers/vanilla_tracker.py:132-160) as a single
+jitted ``lax.scan`` over frames:
+
+  - the feature/label memory bank is a **ring buffer in HBM**
+    (``dynamic_update_slice`` at slot ``t % P``) instead of CPU-offloaded
+    python lists (reference keeps the bank on CPU and ships it to GPU every
+    frame, vanilla_tracker.py:134-139 — that host<->device ping-pong is the
+    single biggest divergence point per SURVEY §3.2);
+  - attention is permutation-invariant over keys, so ring-slot order never
+    needs fixing up; slot validity (= how many frames are in the window yet)
+    is computed from the step index;
+  - top-k over the full 21-frame key set is decomposed into per-frame
+    ``lax.top_k`` (lane dim H*W instead of 21*H*W) + a final merge — exact,
+    and an order of magnitude faster on TPU;
+  - the reference prepends the first (annotated) frame to the window
+    (``with_first``, vanilla_tracker.py:140-149). NOTE the reference
+    duplicates frame 0 in the key set while ``t <= precede_frames`` (it is
+    both prepended and inside the window); we replicate that exactly for
+    parity.
+
+Semantics parity target: ``masked_attention_efficient`` with
+``temperature=0.07, topk=10, normalize=True`` and circle mask
+(test_cfg of configs/r18_nc_sgd_cos_100e_r2_1xNx8_k400.py:27-36).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .affinity import NEG_INF, l2_normalize
+
+
+class PropagationConfig(NamedTuple):
+    precede_frames: int = 20
+    topk: int = 10
+    temperature: float = 0.07
+    with_first: bool = True
+    with_first_neighbor: bool = True
+    with_norm: bool = True
+    query_chunk: int = 1284  # queries per inner step (memory bound)
+
+
+def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
+                mask_chunk: Optional[jnp.ndarray], valid: jnp.ndarray,
+                temperature: float, topk: int):
+    """Top-k candidates from one key frame.
+
+    q_chunk: (Q, C) normalized queries; feat: (HW, C) normalized keys;
+    seg: (HW, K) values; mask_chunk: (HW, Q) bool or None; valid: () bool.
+    Returns (Q, topk) scores and (Q, topk, K) gathered values.
+    """
+    scores = jnp.einsum('kc,qc->qk', feat, q_chunk,
+                        preferred_element_type=jnp.float32) / temperature
+    if mask_chunk is not None:
+        scores = jnp.where(mask_chunk.T, scores, NEG_INF)
+    scores = jnp.where(valid, scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores, topk)  # (Q, topk)
+    top_vals = seg[top_idx]  # (Q, topk, K)
+    return top_scores, top_vals
+
+
+def attend_one_frame(query_feat: jnp.ndarray,
+                     bank_feats: jnp.ndarray,
+                     bank_segs: jnp.ndarray,
+                     bank_valid: jnp.ndarray,
+                     bank_masked: jnp.ndarray,
+                     mask: Optional[jnp.ndarray],
+                     cfg: PropagationConfig) -> jnp.ndarray:
+    """Masked top-k attention of one query frame against the bank.
+
+    Args:
+        query_feat: (H, W, C).
+        bank_feats: (F, H, W, C); bank_segs: (F, H, W, K).
+        bank_valid: (F,) bool — whether each bank slot holds a live frame.
+        bank_masked: (F,) bool — whether the spatial mask applies to the
+            slot (False = the reference's ``non_mask_len`` exemption).
+        mask: (HW, HW) bool [key_pos, query_pos] or None.
+    Returns:
+        (H, W, K) propagated logits.
+    """
+    f, h, w, c = bank_feats.shape
+    k_classes = bank_segs.shape[-1]
+    hw = h * w
+    q = query_feat.reshape(hw, c)
+    feats = bank_feats.reshape(f, hw, c)
+    segs = bank_segs.reshape(f, hw, k_classes)
+    if cfg.with_norm:
+        q = l2_normalize(q, axis=-1)
+        feats = l2_normalize(feats, axis=-1)
+
+    chunk = min(cfg.query_chunk, hw)
+    num_chunks = -(-hw // chunk)
+    pad = num_chunks * chunk - hw
+    q_pad = jnp.pad(q, ((0, pad), (0, 0))).reshape(num_chunks, chunk, c)
+    if mask is not None:
+        mask_pad = jnp.pad(mask, ((0, 0), (0, pad)))
+        mask_chunks = jnp.moveaxis(
+            mask_pad.reshape(hw, num_chunks, chunk), 1, 0)
+    else:
+        mask_chunks = None
+
+    def per_chunk(args):
+        q_c = args[0]
+        m_c = args[1] if mask is not None else None
+
+        def per_frame(carry, frame):
+            feat_f, seg_f, valid_f, masked_f = frame
+            mc = jnp.where(masked_f, m_c, True) if m_c is not None else None
+            s, v = _frame_topk(q_c, feat_f, seg_f, mc, valid_f,
+                               cfg.temperature, cfg.topk)
+            best_s, best_v = carry
+            cat_s = jnp.concatenate([best_s, s], axis=1)  # (Q, 2k)
+            cat_v = jnp.concatenate([best_v, v], axis=1)  # (Q, 2k, K)
+            new_s, sel = jax.lax.top_k(cat_s, cfg.topk)
+            new_v = jnp.take_along_axis(cat_v, sel[..., None], axis=1)
+            return (new_s, new_v), None
+
+        init = (jnp.full((chunk, cfg.topk), NEG_INF, jnp.float32),
+                jnp.zeros((chunk, cfg.topk, k_classes), jnp.float32))
+        (best_s, best_v), _ = jax.lax.scan(
+            per_frame, init, (feats, segs, bank_valid, bank_masked))
+        weights = jax.nn.softmax(best_s, axis=-1)  # (Q, k)
+        return jnp.einsum('qk,qkc->qc', weights, best_v,
+                          preferred_element_type=jnp.float32)
+
+    if mask is not None:
+        outs = jax.lax.map(per_chunk, (q_pad, mask_chunks))
+    else:
+        outs = jax.lax.map(per_chunk, (q_pad,))
+    out = outs.reshape(num_chunks * chunk, k_classes)[:hw]
+    return out.reshape(h, w, k_classes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cfg',))
+def propagate_video(feats: jnp.ndarray,
+                    seg_first: jnp.ndarray,
+                    mask: Optional[jnp.ndarray],
+                    cfg: PropagationConfig) -> jnp.ndarray:
+    """Propagate a first-frame one-hot segmentation through a video.
+
+    Args:
+        feats: (T, H, W, C) per-frame backbone features (frame 0 first).
+        seg_first: (H, W, K) one-hot (or soft) labels for frame 0 at
+            feature resolution.
+        mask: (HW, HW) bool spatial-neighborhood mask or None.
+        cfg: PropagationConfig (static).
+
+    Returns:
+        (T, H, W, K) per-frame label logits; frame 0 is ``seg_first``.
+    """
+    t_total, h, w, c = feats.shape
+    k_classes = seg_first.shape[-1]
+    p = cfg.precede_frames
+
+    first_feat = feats[0]
+    ring_feat0 = jnp.zeros((p, h, w, c), feats.dtype)
+    ring_seg0 = jnp.zeros((p, h, w, k_classes), jnp.float32)
+    # frame 0 enters the window ring at slot 0 (0 mod P)
+    ring_feat0 = ring_feat0.at[0].set(first_feat)
+    ring_seg0 = ring_seg0.at[0].set(seg_first)
+
+    # bank layout: slot 0 = prepended first frame (with_first), slots 1..P =
+    # window ring. with_first_neighbor=False exempts the first slot from the
+    # spatial mask (reference non_mask_len=1, vanilla_tracker.py:158-159).
+    first_masked = jnp.asarray(cfg.with_first_neighbor)
+
+    def step(carry, t):
+        ring_feat, ring_seg = carry
+        query = jax.lax.dynamic_index_in_dim(feats, t, 0, keepdims=False)
+        if cfg.with_first:
+            bank_feats = jnp.concatenate([first_feat[None], ring_feat], 0)
+            bank_segs = jnp.concatenate([seg_first[None], ring_seg], 0)
+            slot_valid = jnp.arange(p) < t  # ring slot j live iff j < t
+            bank_valid = jnp.concatenate(
+                [jnp.ones((1,), bool), slot_valid], 0)
+            bank_masked = jnp.concatenate(
+                [first_masked[None], jnp.ones((p,), bool)], 0)
+        else:
+            bank_feats, bank_segs = ring_feat, ring_seg
+            bank_valid = jnp.arange(p) < t
+            bank_masked = jnp.ones((p,), bool)
+        seg_logit = attend_one_frame(query, bank_feats, bank_segs,
+                                     bank_valid, bank_masked, mask, cfg)
+        slot = jnp.mod(t, p)
+        ring_feat = jax.lax.dynamic_update_index_in_dim(
+            ring_feat, query, slot, 0)
+        ring_seg = jax.lax.dynamic_update_index_in_dim(
+            ring_seg, seg_logit, slot, 0)
+        return (ring_feat, ring_seg), seg_logit
+
+    _, seg_logits = jax.lax.scan(step, (ring_feat0, ring_seg0),
+                                 jnp.arange(1, t_total))
+    return jnp.concatenate([seg_first[None], seg_logits], axis=0)
