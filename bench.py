@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headline benchmark: DAVIS-2017 480p label-propagation frames/sec/chip.
+
+Runs the full eval hot path on one chip — ResNet-18 (eval strides
+(1,2,1,1), out stride 8) feature extraction over a 480x854 video,
+ring-buffer masked top-k propagation (P=20, topk=10, circle r=12 cells,
+temperature 0.07 — the reference test_cfg), and per-frame decode
+(bilinear upsample + minmax-norm + argmax) — and reports frames/sec.
+
+``vs_baseline`` compares against the reference implementation's measured
+throughput on this host's CPU (torch 2.13, 1 thread — the same
+torch-semantics math, measured 2026-08-16 via tests/test_models +
+tests/test_ops reference implementations: 1.4 s/frame ResNet-18 480p
+forward + 23.7 s/frame masked attention = 0.0398 frames/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+# reference (torch CPU, 1 thread) frames/sec on the identical workload
+CPU_BASELINE_FPS = 0.0398
+
+T_FRAMES = 80
+HEIGHT, WIDTH = 480, 854
+NUM_CLASSES = 12
+
+
+def main():
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/vfs_tpu_xla_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
+    from vfs_tpu.models import build_model
+
+    model = build_model(
+        dict(type='VanillaTracker',
+             backbone=dict(type='ResNet', depth=18, out_indices=(3,))),
+        test_cfg=dict(precede_frames=20, topk=10, temperature=0.07,
+                      strides=(1, 2, 1, 1), out_indices=(2,),
+                      neighbor_range=24, with_first=True,
+                      with_first_neighbor=True, batch_step=10))
+    model.init_weights(input_shape=(1, HEIGHT, WIDTH, 3))
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(T_FRAMES, HEIGHT, WIDTH, 3).astype(np.float32)
+    seg = np.zeros((HEIGHT, WIDTH), np.uint8)
+    seg[100:250, 150:400] = 1
+    seg[300:420, 500:700] = 2
+    meta = [dict(original_shape=(HEIGHT, WIDTH))]
+
+    # warmup / compile
+    preds = model.forward_test(imgs, seg, meta)
+    assert preds[0].shape == (T_FRAMES, HEIGHT, WIDTH)
+
+    # timed runs (axon tunnel: time whole forward_test incl. host sync —
+    # completion is forced because predictions are fetched to host)
+    runs = int(os.environ.get('BENCH_RUNS', 3))
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        preds = model.forward_test(imgs, seg, meta)
+        np.asarray(preds[0]).sum()
+        times.append(time.time() - t0)
+    best = min(times)
+    fps = T_FRAMES / best
+    print(json.dumps({
+        'metric': 'davis480p_label_propagation_fps_per_chip',
+        'value': round(fps, 2),
+        'unit': 'frames/sec/chip',
+        'vs_baseline': round(fps / CPU_BASELINE_FPS, 1),
+    }))
+
+
+if __name__ == '__main__':
+    main()

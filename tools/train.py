@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Train CLI (reference: tools/train.py:20-181).
+
+Usage:
+    python tools/train.py CONFIG [--work-dir D] [--seed N] [--options k=v]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Train a model')
+    parser.add_argument('config', help='config file path')
+    parser.add_argument('--work-dir', help='dir to save logs and ckpts')
+    parser.add_argument('--resume-from', help='checkpoint to resume from')
+    parser.add_argument('--auto-resume', action='store_true',
+                        help='resume from latest checkpoint in work_dir')
+    parser.add_argument('--seed', type=int, default=0, help='random seed')
+    parser.add_argument('--launcher', default='none',
+                        choices=['none', 'jax'],
+                        help='multi-host launcher')
+    parser.add_argument('--options', nargs='+', default=None,
+                        help='dotted-key config overrides k=v')
+    parser.add_argument('--compilation-cache',
+                        default='/tmp/vfs_tpu_xla_cache')
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    if args.compilation_cache:
+        jax.config.update('jax_compilation_cache_dir', args.compilation_cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
+    from vfs_tpu.apis.train import train_model
+    from vfs_tpu.datasets import build_dataset
+    from vfs_tpu.models import build_model
+    from vfs_tpu.parallel import init_dist
+    from vfs_tpu.utils import (Config, collect_env, get_root_logger,
+                               parse_options, set_random_seed)
+
+    cfg = Config.fromfile(args.config)
+    if args.options:
+        cfg.merge_from_dict(parse_options(args.options))
+
+    if args.work_dir:
+        cfg.work_dir = args.work_dir
+    elif 'work_dir' not in cfg:
+        cfg.work_dir = os.path.join(
+            './work_dirs', os.path.splitext(os.path.basename(args.config))[0])
+    cfg.seed = args.seed
+    cfg.auto_resume = args.auto_resume
+
+    init_dist(None if args.launcher == 'none' else args.launcher)
+
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    logger = get_root_logger(os.path.join(cfg.work_dir, 'train.log'))
+    env = collect_env()
+    logger.info('Environment:\n' + '\n'.join(
+        f'{k}: {v}' for k, v in env.items()))
+    logger.info(f'Config: {args.config}')
+    cfg.dump(os.path.join(cfg.work_dir, os.path.basename(args.config)))
+
+    set_random_seed(args.seed)
+
+    model = build_model(cfg.model, train_cfg=cfg.get('train_cfg'),
+                        test_cfg=cfg.get('test_cfg'))
+    dataset = build_dataset(cfg.data.train)
+    logger.info(f'Start training: {len(dataset)} samples, '
+                f'{cfg.total_epochs} epochs')
+    train_model(model, dataset, cfg, validate=False, logger=logger)
+
+
+if __name__ == '__main__':
+    main()

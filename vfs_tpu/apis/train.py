@@ -1,0 +1,150 @@
+"""Training loop (reference: mmaction/apis/train.py:12-119 + the external
+mmcv EpochBasedRunner it delegates to — here a single functional loop).
+
+TPU-first: one jitted train_step over a 1-D data mesh. The batch is sharded
+on the ``data`` axis; parameters/optimizer state are replicated; XLA GSPMD
+inserts gradient all-reduces and makes BatchNorm statistics global
+(= reference SyncBN + DDP). Checkpoints via orbax each epoch with
+auto-resume (reference CheckpointHook + --auto-resume).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..checkpoint import latest_checkpoint, restore_checkpoint, \
+    save_checkpoint
+from ..core.optimizer.builder import build_optimizer
+from ..datasets import build_dataloader
+from ..models.trackers.sim_siam_tracker import parse_losses
+from ..parallel import create_mesh, replicated, shard_batch
+from ..utils import JsonlLogger, get_root_logger
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, rng, sample_batch, tx) -> TrainState:
+    variables = model.init(rng, jnp.asarray(sample_batch['imgs'][:1]),
+                           train=True)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state)
+
+
+def make_train_step(model, tx):
+
+    def train_step(state: TrainState, imgs):
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                imgs, train=True, mutable=['batch_stats'])
+            total, log_vars = parse_losses(outputs)
+            return total, (log_vars, mutated['batch_stats'])
+
+        grads, (log_vars, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, log_vars
+
+    return train_step
+
+
+def train_model(model, dataset, cfg, validate: bool = False,
+                logger=None) -> TrainState:
+    """Train ``model`` (a flax Module with loss-dict __call__) on
+    ``dataset`` per config ``cfg`` (reference apis/train.py:12-119)."""
+    logger = logger or get_root_logger()
+    work_dir = cfg.get('work_dir', './work_dirs/default')
+    os.makedirs(work_dir, exist_ok=True)
+    jsonl = JsonlLogger(os.path.join(work_dir, 'train_log.jsonl'))
+
+    data_cfg = cfg.data
+    loader = build_dataloader(
+        dataset,
+        videos_per_gpu=data_cfg['videos_per_gpu'],
+        workers_per_gpu=data_cfg['workers_per_gpu'],
+        shuffle=True, drop_last=True, seed=cfg.get('seed', 0) or 0,
+        num_shards=jax.process_count(), shard_index=jax.process_index())
+
+    total_epochs = cfg.total_epochs
+    iters_per_epoch = len(loader)
+    total_iters = total_epochs * iters_per_epoch
+    grad_clip = None
+    if cfg.get('optimizer_config'):
+        gc = cfg.optimizer_config.get('grad_clip')
+        if gc:
+            grad_clip = gc.get('max_norm', None) if isinstance(gc, dict) \
+                else gc
+    tx, schedule = build_optimizer(cfg.optimizer, cfg.get('lr_config'),
+                                   total_iters, iters_per_epoch, grad_clip)
+
+    mesh = create_mesh(('data',))
+    rng = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
+
+    # init on a sample batch
+    sample = next(iter(loader))
+    state = create_train_state(model, rng, sample, tx)
+    state = jax.device_put(state, replicated(mesh))
+
+    # auto-resume (reference tools/train.py:103-105)
+    start_epoch = 0
+    latest = latest_checkpoint(os.path.join(work_dir, 'checkpoints'))
+    if latest and cfg.get('auto_resume', True):
+        state = restore_checkpoint(latest, state)
+        state = jax.device_put(state, replicated(mesh))
+        start_epoch = int(os.path.basename(latest).split('_')[1])
+        logger.info(f'auto-resumed from {latest} (epoch {start_epoch})')
+
+    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    log_interval = 50
+    if cfg.get('log_config'):
+        log_interval = cfg.log_config.get('interval', 50)
+
+    for epoch in range(start_epoch, total_epochs):
+        loader.set_epoch(epoch)
+        t_iter = time.time()
+        for i, batch in enumerate(loader):
+            imgs = shard_batch({'imgs': batch['imgs']}, mesh)['imgs']
+            state, log_vars = train_step(state, imgs)
+            if (i + 1) % log_interval == 0:
+                log_vars = {k: float(v) for k, v in log_vars.items()}
+                step = int(state.step)
+                lr = schedule(step) if callable(schedule) else schedule
+                dt = (time.time() - t_iter) / log_interval
+                t_iter = time.time()
+                msg = (f'Epoch [{epoch + 1}][{i + 1}/{iters_per_epoch}] '
+                       f'lr: {float(lr):.5f}, time: {dt:.3f}, ' +
+                       ', '.join(f'{k}: {v:.4f}'
+                                 for k, v in log_vars.items()))
+                logger.info(msg)
+                jsonl.log(dict(mode='train', epoch=epoch + 1, iter=i + 1,
+                               lr=float(lr), time=dt, **log_vars))
+        if jax.process_index() == 0:
+            ckpt_interval = 1
+            if cfg.get('checkpoint_config'):
+                ckpt_interval = cfg.checkpoint_config.get('interval', 1)
+            if (epoch + 1) % ckpt_interval == 0 or epoch + 1 == total_epochs:
+                path = save_checkpoint(
+                    os.path.join(work_dir, 'checkpoints'), epoch + 1,
+                    jax.device_get(state))
+                logger.info(f'checkpoint saved to {path}')
+    return state

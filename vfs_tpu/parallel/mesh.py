@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers.
+
+The reference's entire §2.8 distributed stack (torch.distributed.launch,
+NCCL DDP, SyncBN, DistributedSampler) maps to: one ``jax.sharding.Mesh``,
+batch arrays sharded on the ``data`` axis, parameters replicated, and XLA
+GSPMD inserting the gradient/BN collectives over ICI. ``init_dist`` becomes
+``jax.distributed.initialize`` (multi-host only).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_dist(launcher: Optional[str] = None, **kwargs):
+    """Multi-host process-group init (reference tools/train.py:116
+    ``init_dist``). No-op for single-host; under a multi-host launcher the
+    coordinator env vars are picked up by jax.distributed."""
+    if launcher in (None, 'none'):
+        return
+    jax.distributed.initialize(**kwargs)
+
+
+def create_mesh(axis_names: Sequence[str] = ('data',),
+                axis_sizes: Optional[Sequence[int]] = None,
+                devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if axis_sizes is None:
+        axis_sizes = [n] + [1] * (len(axis_names) - 1)
+    assert int(np.prod(axis_sizes)) == n, \
+        f'mesh {axis_sizes} != {n} devices'
+    dev_array = np.asarray(devices).reshape(axis_sizes)
+    return Mesh(dev_array, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Device-put a host batch dict with the batch dim sharded."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding)
+        if hasattr(x, 'ndim') and x.ndim > 0 else x, batch)
