@@ -48,11 +48,15 @@ def main():
     model.init_weights(input_shape=(1, HEIGHT, WIDTH, 3))
 
     rng = np.random.RandomState(0)
-    imgs = rng.randn(T_FRAMES, HEIGHT, WIDTH, 3).astype(np.float32)
+    # uint8 frames + on-device normalization (the production input path)
+    imgs = rng.randint(0, 255, (T_FRAMES, HEIGHT, WIDTH, 3), np.uint8)
     seg = np.zeros((HEIGHT, WIDTH), np.uint8)
     seg[100:250, 150:400] = 1
     seg[300:420, 500:700] = 2
-    meta = [dict(original_shape=(HEIGHT, WIDTH))]
+    meta = [dict(original_shape=(HEIGHT, WIDTH),
+                 img_norm_cfg=dict(
+                     mean=np.array([123.675, 116.28, 103.53], np.float32),
+                     std=np.array([58.395, 57.12, 57.375], np.float32)))]
 
     # warmup / compile
     preds = model.forward_test(imgs, seg, meta)

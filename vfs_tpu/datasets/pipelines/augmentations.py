@@ -222,17 +222,27 @@ class Normalize:
     """Mean/std normalize RGB frames into a float32 (T, H, W, C) stack
     (reference augmentations.py:711-758)."""
 
-    def __init__(self, mean, std, to_bgr=False, adjust_magnitude=False):
+    def __init__(self, mean, std, to_bgr=False, adjust_magnitude=False,
+                 on_device=False):
         self.mean = np.array(mean, dtype=np.float32)
         self.std = np.array(std, dtype=np.float32)
         self.to_bgr = to_bgr
+        # on_device=True keeps frames uint8 and defers (x-mean)/std to the
+        # accelerator (4x less host->device traffic); numerically identical.
+        self.on_device = on_device
 
     def __call__(self, results):
-        imgs = np.stack(results['imgs']).astype(np.float32)
-        if self.to_bgr:
-            imgs = imgs[..., ::-1]
-        imgs = (imgs - self.mean) / self.std
-        results['imgs'] = imgs
+        if self.on_device:
+            imgs = np.stack(results['imgs'])
+            if self.to_bgr:
+                imgs = imgs[..., ::-1]
+            results['imgs'] = imgs
+        else:
+            imgs = np.stack(results['imgs']).astype(np.float32)
+            if self.to_bgr:
+                imgs = imgs[..., ::-1]
+            imgs = (imgs - self.mean) / self.std
+            results['imgs'] = imgs
         results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
                                        to_bgr=self.to_bgr)
         return results

@@ -53,6 +53,10 @@ class Collect:
         data = {}
         if len(self.meta_keys) != 0:
             meta = {k: results[k] for k in self.meta_keys if k in results}
+            # always carry normalization params so models can normalize
+            # uint8 frames on device (Normalize(on_device=True))
+            if 'img_norm_cfg' in results:
+                meta.setdefault('img_norm_cfg', results['img_norm_cfg'])
             data['img_meta'] = meta
         for key in self.keys:
             data[key] = results[key]

@@ -107,15 +107,20 @@ class VanillaTracker:
 
     # -- jitted stages ----------------------------------------------------
     @functools.partial(jax.jit, static_argnames=('self', 'batch_step'))
-    def _extract_feats(self, variables, imgs: jnp.ndarray, batch_step: int):
+    def _extract_feats(self, variables, imgs: jnp.ndarray, batch_step: int,
+                       norm_mean=None, norm_std=None):
         """imgs (T, H, W, 3) -> tuple of (T, h, w, c) feature banks.
 
         T must be a multiple of batch_step; runs the backbone per chunk
-        inside lax.map (reference get_feats, vanilla_tracker.py:55-75)."""
+        inside lax.map (reference get_feats, vanilla_tracker.py:55-75).
+        uint8 inputs are normalized on device (ships 4x less data over the
+        host link than pre-normalized float32)."""
         t = imgs.shape[0]
         chunks = imgs.reshape(t // batch_step, batch_step, *imgs.shape[1:])
 
         def fwd(chunk):
+            if chunk.dtype == jnp.uint8:
+                chunk = (chunk.astype(jnp.float32) - norm_mean) / norm_std
             outs = self.backbone.apply(variables, chunk, train=False)
             return outs if isinstance(outs, tuple) else (outs,)
 
@@ -155,8 +160,16 @@ class VanillaTracker:
             [imgs, np.zeros((t_pad - t_real,) + imgs.shape[1:],
                             imgs.dtype)], axis=0) if t_pad > t_real else imgs
 
+        norm_mean = norm_std = None
+        if imgs_pad.dtype == np.uint8:
+            norm_cfg = img_meta[0].get('img_norm_cfg',
+                                       dict(mean=np.zeros(3),
+                                            std=np.ones(3)))
+            norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
+            norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
         feats = self._extract_feats(self.variables,
-                                    jnp.asarray(imgs_pad), batch_step)
+                                    jnp.asarray(imgs_pad), batch_step,
+                                    norm_mean, norm_std)
 
         original_shape = tuple(img_meta[0]['original_shape'][:2])
         input_onehot = ref_seg_map.ndim == 3  # (H, W, K) soft labels
@@ -192,8 +205,15 @@ class VanillaTracker:
                 first_pred = None  # handled by caller for soft labels
 
             neighbor_range = test_cfg.get('neighbor_range', None)
+            with_first_neighbor = bool(
+                test_cfg.get('with_first_neighbor', True))
+            with_norm = bool(test_cfg.get('with_norm', True))
+            # the tiled locality kernel covers the default configuration;
+            # fall back to the dense masked path otherwise
+            use_local = (neighbor_range is not None and with_first_neighbor
+                         and with_norm)
             mask = None
-            if neighbor_range is not None:
+            if neighbor_range is not None and not use_local:
                 mask = spatial_neighbor(h, w, neighbor_range, mode='circle')
 
             cfg = PropagationConfig(
@@ -201,9 +221,10 @@ class VanillaTracker:
                 topk=int(test_cfg.get('topk', 10)),
                 temperature=float(test_cfg.get('temperature', 1.0)),
                 with_first=bool(test_cfg.get('with_first', True)),
-                with_first_neighbor=bool(
-                    test_cfg.get('with_first_neighbor', True)),
-                with_norm=bool(test_cfg.get('with_norm', True)))
+                with_first_neighbor=with_first_neighbor,
+                with_norm=with_norm,
+                neighbor_range=int(neighbor_range)
+                if use_local else None)
 
             seg_preds, seg_logits = self._propagate_decode(
                 feats=feat, seg_first=jnp.asarray(seg_first),
