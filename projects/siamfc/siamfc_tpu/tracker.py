@@ -1,0 +1,287 @@
+"""SiamFC tracker: init/update inference loop + linear-probe training.
+
+Reference: projects/siamfc-pytorch/siamfc/siamfc_tracker_base.py:88-500.
+TPU mapping: backbone+xcorr forward is one jitted function; the per-frame
+box logic (scale penalties, hann window blend, displacement) stays host-side
+numpy exactly as the reference (it is O(272^2) and parity-sensitive).
+SyncBN->BN conversion (:29-47) is unnecessary: BN stats are data, the same
+variables run anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import os.path as osp
+import time
+from typing import Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfs_tpu.models import build_backbone
+from vfs_tpu.utils import get_root_logger
+
+from . import ops
+from .datasets import Pair, SiamFCTransforms
+from .heads import SiamConvFC, SiamFC
+from .losses import balanced_loss, create_labels, focal_loss
+
+IMG_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMG_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class Net:
+    """backbone + head as one flax-style apply (reference Net, :75-85)."""
+
+    def __init__(self, backbone, head):
+        self.backbone = backbone
+        self.head = head
+
+    def init(self, rng, z, x):
+        rb, rh = jax.random.split(rng)
+        bvars = self.backbone.init(rb, z, train=False)
+        zf = self.backbone.apply(bvars, z, train=False)
+        xf = self.backbone.apply(bvars, x, train=False)
+        hvars = self.head.init(rh, zf, xf)
+        return {'backbone': bvars, 'head': hvars}
+
+    def apply(self, variables, z, x):
+        zf = self.backbone.apply(variables['backbone'], z, train=False)
+        xf = self.backbone.apply(variables['backbone'], x, train=False)
+        return self.head.apply(variables['head'], zf, xf)
+
+
+class TrackerSiamFC:
+
+    def __init__(self, cfg, logger=None):
+        self.cfg = cfg
+        self.logger = logger or get_root_logger()
+        backbone_cfg = dict(cfg['model']['backbone'])
+        backbone_cfg.setdefault('type', 'ResNet')
+        backbone_cfg.setdefault('depth', 18)
+        self.backbone = build_backbone(backbone_cfg)
+        if cfg['extra_conv']:
+            self.head = SiamConvFC(cfg['out_channels'],
+                                   cfg['out_channels'] // cfg['reduction'],
+                                   out_scale=cfg['out_scale'])
+        else:
+            self.head = SiamFC(out_scale=cfg['out_scale'])
+        self.net = Net(self.backbone, self.head)
+        self.variables = None
+        self.opt_state = None
+        self._tx = None
+
+    # -- weights -----------------------------------------------------------
+    def init_weights(self, pretrained: Optional[str] = None):
+        z = jnp.zeros((1, self.cfg['exemplar_sz'], self.cfg['exemplar_sz'],
+                       3), jnp.float32)
+        x = jnp.zeros((1, self.cfg['instance_sz'], self.cfg['instance_sz'],
+                       3), jnp.float32)
+        self.variables = self.net.init(jax.random.PRNGKey(0), z, x)
+        if pretrained:
+            from vfs_tpu.checkpoint import load_torchvision_resnet
+            params, stats = load_torchvision_resnet(pretrained)
+            self.variables['backbone'] = {'params': params,
+                                          'batch_stats': stats}
+            self.logger.info(f'loaded backbone from {pretrained}')
+        return self.variables
+
+    # -- jitted forward pieces ----------------------------------------------
+    @functools.partial(jax.jit, static_argnames=('self',))
+    def _backbone_fwd(self, variables, imgs):
+        imgs = (imgs - IMG_MEAN) / IMG_STD
+        out = self.backbone.apply(variables['backbone'], imgs, train=False)
+        return out[-1] if isinstance(out, tuple) else out
+
+    @functools.partial(jax.jit, static_argnames=('self',))
+    def _head_fwd(self, variables, zf, xf):
+        return self.head.apply(variables['head'], zf, xf)
+
+    # -- got10k-compatible Tracker interface --------------------------------
+    def init(self, img, box):
+        """First-frame init (reference :200-243). box is 1-indexed ltwh."""
+        cfg = self.cfg
+        box = np.array([
+            box[1] - 1 + (box[3] - 1) / 2,
+            box[0] - 1 + (box[2] - 1) / 2,
+            box[3], box[2]], np.float32)
+        self.center, self.target_sz = box[:2], box[2:]
+        self.upscale_sz = cfg['response_up'] * cfg['response_sz']
+        self.hann_window = np.outer(np.hanning(self.upscale_sz),
+                                    np.hanning(self.upscale_sz))
+        self.hann_window /= self.hann_window.sum()
+        self.scale_factors = cfg['scale_step']**np.linspace(
+            -(cfg['scale_num'] // 2), cfg['scale_num'] // 2,
+            cfg['scale_num'])
+        context = cfg['context'] * np.sum(self.target_sz)
+        self.z_sz = np.sqrt(np.prod(self.target_sz + context))
+        self.x_sz = self.z_sz * cfg['instance_sz'] / cfg['exemplar_sz']
+        self.avg_color = np.mean(img, axis=(0, 1))
+        z = ops.crop_and_resize(img, self.center, self.z_sz,
+                                out_size=cfg['exemplar_sz'],
+                                border_value=self.avg_color)
+        self.kernel = self._backbone_fwd(
+            self.variables, jnp.asarray(z[None], jnp.float32))
+
+    def update(self, img):
+        """Per-frame tracking step (reference :245-319)."""
+        cfg = self.cfg
+        x = [ops.crop_and_resize(img, self.center, self.x_sz * f,
+                                 out_size=cfg['instance_sz'],
+                                 border_value=self.avg_color)
+             for f in self.scale_factors]
+        x = jnp.asarray(np.stack(x), jnp.float32)
+        xf = self._backbone_fwd(self.variables, x)
+        responses = self._head_fwd(self.variables, self.kernel, xf)
+        responses = np.asarray(responses)[..., 0]  # (S, h, w)
+        responses = np.stack([
+            cv2.resize(u, (self.upscale_sz, self.upscale_sz),
+                       interpolation=cv2.INTER_CUBIC) for u in responses])
+        responses[:cfg['scale_num'] // 2] *= cfg['scale_penalty']
+        responses[cfg['scale_num'] // 2 + 1:] *= cfg['scale_penalty']
+        scale_id = np.argmax(np.amax(responses, axis=(1, 2)))
+        response = responses[scale_id]
+        response -= response.min()
+        response /= response.sum() + 1e-16
+        response = (1 - cfg['window_influence']) * response + \
+            cfg['window_influence'] * self.hann_window
+        loc = np.unravel_index(response.argmax(), response.shape)
+        disp_in_response = np.array(loc) - (self.upscale_sz - 1) / 2
+        disp_in_instance = disp_in_response * \
+            cfg['total_stride'] / cfg['response_up']
+        disp_in_image = disp_in_instance * self.x_sz * \
+            self.scale_factors[scale_id] / cfg['instance_sz']
+        self.center += disp_in_image
+        scale = (1 - cfg['scale_lr']) * 1.0 + \
+            cfg['scale_lr'] * self.scale_factors[scale_id]
+        self.target_sz *= scale
+        self.z_sz *= scale
+        self.x_sz *= scale
+        return np.array([
+            self.center[1] + 1 - (self.target_sz[1] - 1) / 2,
+            self.center[0] + 1 - (self.target_sz[0] - 1) / 2,
+            self.target_sz[1], self.target_sz[0]])
+
+    def track(self, img_files, box, visualize=False):
+        frame_num = len(img_files)
+        boxes = np.zeros((frame_num, 4))
+        boxes[0] = box
+        times = np.zeros(frame_num)
+        for f, img_file in enumerate(img_files):
+            img = ops.read_image(img_file)
+            begin = time.time()
+            if f == 0:
+                self.init(img, box)
+            else:
+                boxes[f, :] = self.update(img)
+            times[f] = time.time() - begin
+        return boxes, times
+
+    # -- training ------------------------------------------------------------
+    def _build_optimizer(self, iters_per_epoch: int):
+        import optax
+        cfg = self.cfg
+        wd = cfg['weight_decay'] if (
+            cfg['model']['backbone'].get('frozen_stages', -1) < 4
+            or cfg.get('force_wd', False)) else 0.0
+        if cfg['lr_schedule'] == 'exp':
+            gamma = (cfg['ultimate_lr'] / cfg['initial_lr'])**(
+                1.0 / cfg['epoch_num'])
+            sched = optax.exponential_decay(
+                cfg['initial_lr'], transition_steps=iters_per_epoch,
+                decay_rate=gamma, staircase=True)
+        elif cfg['lr_schedule'] == 'step':
+            sched = optax.exponential_decay(
+                cfg['initial_lr'],
+                transition_steps=cfg['lr_step_size'] * iters_per_epoch,
+                decay_rate=0.1, staircase=True)
+        else:
+            sched = cfg['initial_lr']
+        chain = []
+        if cfg['optimizer'] == 'SGD':
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+            chain.append(optax.trace(decay=cfg['momentum']))
+        else:  # Adam
+            chain.append(optax.scale_by_adam())
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+        chain.append(optax.scale_by_learning_rate(sched))
+        return optax.chain(*chain), sched
+
+    def _loss_fn(self, head_params, backbone_vars, head_extra, z, x, labels):
+        variables = {'backbone': backbone_vars,
+                     'head': {**head_extra, 'params': head_params}}
+        responses = self.net.apply(variables, z, x)[..., 0]
+        if self.cfg['loss'] == 'focal':
+            return focal_loss(responses, labels)
+        return balanced_loss(responses, labels)
+
+    def train_over(self, seqs, work_dir='./work_dirs/siamfc'):
+        """Linear-probe training on sequence pairs (reference :388-467).
+        Only head params train when frozen_stages=4 (the linear probe)."""
+        import optax
+
+        from vfs_tpu.datasets.builder import DataLoader
+        cfg = self.cfg
+        transforms = SiamFCTransforms(
+            exemplar_sz=cfg['exemplar_sz'], instance_sz=cfg['instance_sz'],
+            context=cfg['context'])
+        dataset = Pair(seqs=seqs, transforms=transforms,
+                       pairs_per_seq=cfg.get('pairs_per_seq', 1))
+        loader = DataLoader(dataset, batch_size=cfg['batch_size'],
+                            shuffle=True, num_workers=cfg['num_workers'],
+                            drop_last=True)
+        tx, sched = self._build_optimizer(len(loader))
+        head_params = self.variables['head']['params']
+        head_extra = {k: v for k, v in self.variables['head'].items()
+                      if k != 'params'}
+        opt_state = tx.init(head_params)
+
+        grad_fn = jax.jit(jax.value_and_grad(
+            lambda hp, z, x, labels: self._loss_fn(
+                hp, self.variables['backbone'], head_extra, z, x, labels)))
+
+        @jax.jit
+        def apply_updates(hp, opt_state, grads):
+            updates, opt_state = tx.update(grads, opt_state, hp)
+            return optax.apply_updates(hp, updates), opt_state
+
+        step = 0
+        labels_cache = {}
+        os.makedirs(work_dir, exist_ok=True)
+        for epoch in range(cfg['epoch_num']):
+            loader.set_epoch(epoch)
+            for i, batch in enumerate(loader):
+                z = jnp.asarray((batch['z'] - IMG_MEAN) / IMG_STD)
+                x = jnp.asarray((batch['x'] - IMG_MEAN) / IMG_STD)
+                # label size from the response size (static per shapes)
+                key = (z.shape, x.shape)
+                if key not in labels_cache:
+                    zf = self._backbone_fwd(self.variables, z[:1])
+                    xf = self._backbone_fwd(self.variables, x[:1])
+                    r = self._head_fwd(self.variables, zf, xf)
+                    labels_cache[key] = jnp.asarray(np.tile(create_labels(
+                        r.shape[1:3], cfg['r_pos'], cfg['r_neg'],
+                        cfg['total_stride'])[None], (z.shape[0], 1, 1)))
+                labels = labels_cache[key]
+                # z/x already normalized; _loss_fn normalizes again inside
+                # _backbone_fwd? no — net.apply uses raw backbone; keep
+                # normalized inputs here.
+                loss, grads = grad_fn(head_params, z, x, labels)
+                head_params, opt_state = apply_updates(head_params,
+                                                       opt_state, grads)
+                step += 1
+                if (i + 1) % cfg.get('log_interval', 20) == 0:
+                    self.logger.info(
+                        f'Epoch {epoch + 1} [{i + 1}/{len(loader)}] '
+                        f'loss: {float(loss):.4f}')
+            self.variables['head'] = {**head_extra, 'params': head_params}
+            from vfs_tpu.checkpoint import save_checkpoint
+            save_checkpoint(osp.join(work_dir, 'checkpoints'), epoch + 1,
+                            jax.device_get(self.variables))
+        self.variables['head'] = {**head_extra, 'params': head_params}
+        return self.variables

@@ -3,12 +3,15 @@ from .base import BaseDataset
 from .builder import DataLoader, build_dataloader, build_dataset
 from .dataset_wrappers import RepeatDataset
 from .davis_dataset import DavisDataset
+from .image_dataset import ImageDataset
+from .jhmdb_dataset import JHMDBDataset
 from .rawframe_dataset import RawframeDataset
 from .registry import DATASETS, PIPELINES
 from .video_dataset import VideoDataset
+from .vip_dataset import VIPDataset
 
 __all__ = [
     'BaseDataset', 'DataLoader', 'build_dataloader', 'build_dataset',
-    'RepeatDataset', 'DavisDataset', 'RawframeDataset', 'DATASETS',
-    'PIPELINES', 'VideoDataset'
+    'RepeatDataset', 'DavisDataset', 'ImageDataset', 'JHMDBDataset',
+    'RawframeDataset', 'DATASETS', 'PIPELINES', 'VideoDataset', 'VIPDataset'
 ]

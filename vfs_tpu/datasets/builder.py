@@ -101,15 +101,23 @@ class DataLoader:
         results = {}
         lock = threading.Lock()
 
+        errors = []
+
         def worker():
             while True:
                 try:
                     i, b = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset[int(j)] for j in b]
+                try:
+                    samples = [self.dataset[int(j)] for j in b]
+                    collated = self._collate(samples)
+                except Exception as exc:  # propagate to the iterator
+                    with lock:
+                        errors.append(exc)
+                    return
                 with lock:
-                    results[i] = self._collate(samples)
+                    results[i] = collated
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -119,12 +127,22 @@ class DataLoader:
         import time
         while served < nbatch:
             with lock:
+                if errors:
+                    raise errors[0]
                 ready = served in results
             if ready:
                 with lock:
                     batch = results.pop(served)
                 served += 1
                 yield batch
+            elif not any(t.is_alive() for t in threads):
+                with lock:
+                    if errors:
+                        raise errors[0]
+                    if served not in results:
+                        raise RuntimeError(
+                            'DataLoader workers exited without producing '
+                            f'batch {served}')
             else:
                 time.sleep(0.002)
         del out_q

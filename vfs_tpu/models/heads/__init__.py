@@ -1,3 +1,4 @@
+from .recognition_heads import I3DHead, SlowFastHead, TSMHead, TSNHead
 from .sim_siam_head import SimSiamHead
 
-__all__ = ['SimSiamHead']
+__all__ = ['SimSiamHead', 'I3DHead', 'SlowFastHead', 'TSMHead', 'TSNHead']

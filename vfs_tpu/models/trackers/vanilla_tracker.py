@@ -154,8 +154,10 @@ class VanillaTracker:
         test_cfg = self.test_cfg
         batch_step = int(test_cfg.get('batch_step', 10))
         t_real = imgs.shape[0]
-        # bucket T so the scan compiles once per bucket
+        # bucket T so the scan compiles once per bucket; must also divide
+        # into batch_step chunks for feature extraction
         t_pad = _round_up(max(t_real, 2), max(batch_step, 20))
+        t_pad = _round_up(t_pad, batch_step)
         imgs_pad = np.concatenate(
             [imgs, np.zeros((t_pad - t_real,) + imgs.shape[1:],
                             imgs.dtype)], axis=0) if t_pad > t_real else imgs
@@ -235,8 +237,16 @@ class VanillaTracker:
                 seg_preds[0] = first_pred  # frame 0 = GT (reference :118)
                 all_seg_preds.append(seg_preds[None])  # (1, T, H0, W0)
             else:
-                logits = np.asarray(
+                # soft labels: return per-frame heatmaps channel-first
+                # (T, K, H0, W0) like the reference (vanilla_tracker.py:
+                # 106-118,162-166 without argmax); frame 0 is the input
+                # heatmap resized to the original shape.
+                logits = np.array(
                     resize_bilinear(seg_logits[:t_real], original_shape))
+                logits[0] = np.asarray(resize_bilinear(
+                    jnp.asarray(ref_seg_map, jnp.float32)[None],
+                    original_shape)[0])
+                logits = np.transpose(logits, (0, 3, 1, 2))
                 all_seg_preds.append(logits[None])
 
         if self.save_np:
