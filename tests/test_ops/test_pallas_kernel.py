@@ -1,0 +1,36 @@
+"""Pallas fused kernel parity (interpret mode on CPU) against the tiled
+XLA path (itself parity-tested against the dense reference)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vfs_tpu.ops.affinity import l2_normalize
+from vfs_tpu.ops.local_attention_tiled import local_masked_topk_attend
+from vfs_tpu.ops.pallas_attention import (pad_for_pallas,
+                                          pallas_local_topk_attend)
+
+
+@pytest.mark.parametrize('h,w,nr,tile,topk', [
+    (12, 14, 6, (4, 8), 4),
+    (10, 11, 8, (8, 8), 3),   # non-divisible both dims
+])
+def test_pallas_interpret_parity(h, w, nr, tile, topk):
+    rng = np.random.RandomState(0)
+    f, c, k = 5, 16, 3
+    radius = nr // 2
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    bank_f = l2_normalize(
+        jnp.asarray(rng.randn(f, h, w, c), jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.asarray([1, 1, 1, 0, 0])
+    ref = local_masked_topk_attend(query, bank_f, bank_v,
+                                   valid.astype(bool), radius=radius,
+                                   temperature=0.07, topk=topk, tile=(4, 4))
+    out = pallas_local_topk_attend(
+        pad_for_pallas(query, h, w, radius, tile),
+        pad_for_pallas(bank_f, h, w, radius, tile),
+        bank_v, valid, radius=radius, temperature=0.07, topk=topk,
+        h=h, w=w, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,255 @@
+"""Fused Pallas kernel for circle-masked top-k label propagation.
+
+The flagship TPU kernel (SURVEY §5 "long-context" row: fuse
+normalize+QKᵀ+mask+topk into one VMEM-resident pass). Per query tile it
+
+  1. DMAs the tile's dilated key block of every bank frame HBM->VMEM
+     (double buffered),
+  2. computes scores on the MXU into a VMEM-resident (Q, F*KB) buffer —
+     scores never touch HBM (the XLA paths spill hundreds of MB per frame),
+  3. applies the circle mask (coordinate math, computed once per tile) and
+     per-frame bank validity,
+  4. extracts the exact top-k by k *unrolled* passes of row-max +
+     first-occurrence one-hot (tie order = lowest flat index, matching
+     torch.topk on the reference path),
+
+and returns ``(top_scores, top_flat_idx)`` per query. The cheap epilogue —
+value gather + softmax + weighted sum over k entries — runs in XLA
+(``pallas_local_topk_attend``), sidestepping Mosaic's 128-alignment limits
+on the tiny class dimension.
+
+Equivalence contract: identical to
+``local_attention_tiled.local_masked_topk_attend`` (itself parity-tested
+against the dense reference) for pre-normalized inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
+                 temperature):
+    # Mosaic constraints: HBM DMA slice offsets on the second-to-last dim
+    # must be 8-aligned -> the W padding is rounded up to 8 (rw) and key
+    # blocks are fetched at the tile origin with width tw + 2*rw; the mask
+    # handles the extra columns.
+    kbh = th + 2 * r
+    kbw = tw + 2 * rw
+    q_n = th * tw
+    kb_n = kbh * kbw
+    kb_pad = _round_up(kb_n, 128)
+    total_k = f_frames * kb_pad
+
+    def kernel(valid_ref, query_ref, bank_feats_ref, out_s_ref, out_i_ref,
+               q_buf, key_buf, scores_buf, mask_buf, sem_q, sem_k):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        oy = ti * th
+        ox = tj * tw
+
+        cp_q = pltpu.make_async_copy(
+            query_ref.at[pl.ds(oy + r, th), pl.ds(ox + rw, tw), :],
+            q_buf, sem_q)
+        cp_q.start()
+
+        # circle + boundary mask (additive, 0 or -inf), once per tile.
+        # Coordinates derive from flat iotas (Mosaic cannot reshape across
+        # the lane boundary).
+        q_idx = lax.broadcasted_iota(jnp.int32, (q_n, 1), 0)
+        qi = q_idx // tw
+        qj = q_idx % tw
+        k_idx = lax.broadcasted_iota(jnp.int32, (1, kb_n), 1)
+        ka = k_idx // kbw
+        kb = k_idx % kbw
+        dy = (ka - r) - qi
+        dx = (kb - rw) - qj
+        circle = (dy.astype(jnp.float32)**2 +
+                  dx.astype(jnp.float32)**2) < radius * radius
+        aky = ka + oy - r
+        akx = kb + ox - rw
+        inb = (aky >= 0) & (aky < h) & (akx >= 0) & (akx < w)
+        qin = ((qi + oy) < h) & ((qj + ox) < w)
+        mask_buf[:] = jnp.where(circle & inb & qin, 0.0, NEG_INF)
+
+        cp_q.wait()
+
+        def key_copy(f, slot):
+            return pltpu.make_async_copy(
+                bank_feats_ref.at[f, pl.ds(oy, kbh), pl.ds(ox, kbw), :],
+                key_buf.at[slot], sem_k.at[slot])
+
+        key_copy(0, 0).start()
+        q = q_buf[:].reshape(q_n, c)
+
+        def frame_body(f, _):
+            slot = lax.rem(f, 2)
+
+            @pl.when(f + 1 < f_frames)
+            def _():
+                key_copy(f + 1, lax.rem(f + 1, 2)).start()
+
+            key_copy(f, slot).wait()
+            keys = key_buf[slot].reshape(kb_n, c)
+            scores = lax.dot_general(
+                q, keys, (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) * (1.0 / temperature)
+            scores = scores + mask_buf[:]
+            scores = jnp.where(valid_ref[f] > 0, scores, NEG_INF)
+            if kb_pad > kb_n:
+                scores = jnp.concatenate(
+                    [scores,
+                     jnp.full((q_n, kb_pad - kb_n), NEG_INF, jnp.float32)],
+                    axis=1)
+            # kb_pad is a 128-multiple, so the dynamic lane offset is
+            # provably aligned
+            off = pl.multiple_of(f * kb_pad, 128)
+            scores_buf[:, pl.ds(off, kb_pad)] = scores
+            return 0
+
+        lax.fori_loop(0, f_frames, frame_body, 0)
+
+        # exact top-k: unrolled passes of max + first-occurrence one-hot
+        col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
+        top_s = []
+        top_i = []
+        for p in range(topk):
+            s = scores_buf[:]
+            m = jnp.max(s, axis=1, keepdims=True)          # (Q, 1)
+            eq = s >= m
+            first_idx = jnp.min(jnp.where(eq, col, total_k), axis=1,
+                                keepdims=True)
+            top_s.append(m)
+            top_i.append(first_idx)
+            if p + 1 < topk:
+                scores_buf[:] = jnp.where(col == first_idx, NEG_INF, s)
+        out_s_ref[0, 0] = jnp.concatenate(top_s, axis=1)   # (Q, topk)
+        out_i_ref[0, 0] = jnp.concatenate(top_i, axis=1)
+
+    return kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('radius', 'temperature', 'topk', 'tile', 'h', 'w',
+                     'interpret'))
+def pallas_local_topk_attend(query_padded: jnp.ndarray,
+                             bank_feats: jnp.ndarray,
+                             bank_vals: jnp.ndarray,
+                             bank_valid: jnp.ndarray,
+                             radius: float,
+                             temperature: float,
+                             topk: int,
+                             h: int,
+                             w: int,
+                             tile: Tuple[int, int] = (8, 8),
+                             interpret: bool = False) -> jnp.ndarray:
+    """Fused masked top-k attention over one query frame.
+
+    Args:
+        query_padded: (Hp+2r, Wp+2rw, C) — query frame in the padded layout
+            (r rows top/bottom, rw = round_up(r, 8) cols left/right; use
+            ``pad_for_pallas``), pre-normalized.
+        bank_feats: (F, Hp+2r, Wp+2rw, C) pre-normalized, padded.
+        bank_vals: (F, h, w, K) — UN-padded values (gathered in the XLA
+            epilogue).
+        bank_valid: (F,) bool/int.
+        h, w: un-padded spatial size.
+    Returns:
+        (h, w, K) propagated logits.
+    """
+    th, tw = tile
+    r = int(math.ceil(radius - 1))
+    rw = _round_up(r, 8)
+    f_frames = bank_feats.shape[0]
+    c = bank_feats.shape[-1]
+    k_classes = bank_vals.shape[-1]
+    nth = -(-h // th)
+    ntw = -(-w // tw)
+
+    kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n = _make_kernel(
+        th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
+        float(temperature))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nth, ntw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # query (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # bank feats (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, q_n, topk), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_n, topk), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th, tw, c), jnp.float32),        # q_buf
+            pltpu.VMEM((2, kbh, kbw, c), jnp.float32),    # key_buf
+            pltpu.VMEM((q_n, total_k), jnp.float32),      # scores
+            pltpu.VMEM((q_n, kb_n), jnp.float32),         # mask
+            pltpu.SemaphoreType.DMA(()),                  # sem_q
+            pltpu.SemaphoreType.DMA((2,)),                # sem_k
+        ],
+    )
+    top_s, top_i = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((nth, ntw, q_n, topk), jnp.float32),
+            jax.ShapeDtypeStruct((nth, ntw, q_n, topk), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bank_valid.astype(jnp.int32), query_padded, bank_feats)
+
+    # ---- XLA epilogue: decode flat indices, gather values, softmax ----
+    f_idx = top_i // kb_pad
+    rem = top_i % kb_pad
+    a = rem // kbw
+    b = rem % kbw
+    ty = jnp.arange(nth)[:, None, None, None] * th
+    tx = jnp.arange(ntw)[None, :, None, None] * tw
+    y = jnp.clip(ty + a - r, 0, h - 1)
+    x = jnp.clip(tx + b - rw, 0, w - 1)
+    f_idx = jnp.clip(f_idx, 0, f_frames - 1)
+    vals = bank_vals[f_idx, y, x]                       # (nth,ntw,Q,k,K)
+    weights = jax.nn.softmax(top_s, axis=-1)
+    out = jnp.einsum('abqk,abqkc->abqc', weights, vals,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(nth, ntw, th, tw, k_classes)
+    out = jnp.moveaxis(out, 2, 1).reshape(nth * th, ntw * tw, k_classes)
+    return out[:h, :w]
+
+
+def pad_for_pallas(x: jnp.ndarray, h: int, w: int, radius: float,
+                   tile: Tuple[int, int]) -> jnp.ndarray:
+    """Pad ``(..., h, w, C)`` into the kernel layout: r rows top/bottom
+    (plus tile remainder at the bottom), rw = round_up(r, 8) cols
+    left/right (plus tile remainder at the right)."""
+    th, tw = tile
+    r = int(math.ceil(radius - 1))
+    rw = _round_up(r, 8)
+    hp = _round_up(h, th)
+    wp = _round_up(w, tw)
+    pads = [(0, 0)] * x.ndim
+    pads[x.ndim - 3] = (r, r + hp - h)
+    pads[x.ndim - 2] = (rw, rw + wp - w)
+    return jnp.pad(x, pads)
