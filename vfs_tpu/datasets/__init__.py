@@ -1,4 +1,5 @@
 from . import pipelines  # noqa: F401  (register)
+from .activitynet_dataset import ActivityNetDataset
 from .base import BaseDataset
 from .builder import DataLoader, build_dataloader, build_dataset
 from .dataset_wrappers import RepeatDataset
@@ -11,7 +12,7 @@ from .video_dataset import VideoDataset
 from .vip_dataset import VIPDataset
 
 __all__ = [
-    'BaseDataset', 'DataLoader', 'build_dataloader', 'build_dataset',
+    'ActivityNetDataset', 'BaseDataset', 'DataLoader', 'build_dataloader', 'build_dataset',
     'RepeatDataset', 'DavisDataset', 'ImageDataset', 'JHMDBDataset',
     'RawframeDataset', 'DATASETS', 'PIPELINES', 'VideoDataset', 'VIPDataset'
 ]

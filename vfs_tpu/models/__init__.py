@@ -1,6 +1,7 @@
 from . import backbones  # noqa: F401  (register)
 from . import heads  # noqa: F401  (register)
 from . import losses  # noqa: F401  (register)
+from . import localizers  # noqa: F401  (register)
 from . import recognizers  # noqa: F401  (register)
 from . import trackers  # noqa: F401  (register)
 from .builder import (build_backbone, build_head, build_loss, build_model,

@@ -1,8 +1,10 @@
+from .bmn_loss import (BinaryLogisticRegressionLoss, BMNLoss,
+                       binary_logistic_regression_loss)
 from .regression import (BCELossWithLogits, CrossEntropyLoss, L1Loss,
                          MSELoss, NLLLoss, SmoothL1Loss)
 from .sim_loss import CosineSimLoss, DotSimLoss
 
 __all__ = [
-    'CosineSimLoss', 'DotSimLoss', 'CrossEntropyLoss', 'BCELossWithLogits',
+    'CosineSimLoss', 'DotSimLoss', 'BMNLoss', 'BinaryLogisticRegressionLoss', 'binary_logistic_regression_loss', 'CrossEntropyLoss', 'BCELossWithLogits',
     'NLLLoss', 'MSELoss', 'L1Loss', 'SmoothL1Loss'
 ]

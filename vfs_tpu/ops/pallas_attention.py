@@ -55,8 +55,9 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
     kb_pad = _round_up(kb_n, 128)
     total_k = f_frames * kb_pad
 
-    def kernel(valid_ref, query_ref, bank_feats_ref, out_s_ref, out_i_ref,
-               q_buf, key_buf, scores_buf, mask_buf, sem_q, sem_k):
+    def kernel(valid_ref, query_ref, bank_feats_ref, mask_ref, out_s_ref,
+               out_i_ref, q_buf, key_buf, scores_buf, mask_buf, sem_q,
+               sem_k, sem_m):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         oy = ti * th
@@ -66,26 +67,12 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
             query_ref.at[pl.ds(oy + r, th), pl.ds(ox + rw, tw), :],
             q_buf, sem_q)
         cp_q.start()
-
-        # circle + boundary mask (additive, 0 or -inf), once per tile.
-        # Coordinates derive from flat iotas (Mosaic cannot reshape across
-        # the lane boundary).
-        q_idx = lax.broadcasted_iota(jnp.int32, (q_n, 1), 0)
-        qi = q_idx // tw
-        qj = q_idx % tw
-        k_idx = lax.broadcasted_iota(jnp.int32, (1, kb_n), 1)
-        ka = k_idx // kbw
-        kb = k_idx % kbw
-        dy = (ka - r) - qi
-        dx = (kb - rw) - qj
-        circle = (dy.astype(jnp.float32)**2 +
-                  dx.astype(jnp.float32)**2) < radius * radius
-        aky = ka + oy - r
-        akx = kb + ox - rw
-        inb = (aky >= 0) & (aky < h) & (akx >= 0) & (akx < w)
-        qin = ((qi + oy) < h) & ((qj + ox) < w)
-        mask_buf[:] = jnp.where(circle & inb & qin, 0.0, NEG_INF)
-
+        # additive circle+boundary mask, precomputed per tile on the host
+        # side of the jit (Mosaic's vector int div/mod lowering is
+        # unreliable; see commit history)
+        cp_m = pltpu.make_async_copy(mask_ref.at[ti, tj], mask_buf, sem_m)
+        cp_m.start()
+        cp_m.wait()
         cp_q.wait()
 
         def key_copy(f, slot):
@@ -109,7 +96,7 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                 q, keys, (((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) * (1.0 / temperature)
-            scores = scores + mask_buf[:]
+            scores = scores + mask_buf[:, :kb_n]  # additive mask
             scores = jnp.where(valid_ref[f] > 0, scores, NEG_INF)
             if kb_pad > kb_n:
                 scores = jnp.concatenate(
@@ -186,12 +173,36 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
         th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
         float(temperature))
 
+    # precomputed per-tile additive mask (nth, ntw, q_n, kb_n)
+    qi, qj = jnp.divmod(jnp.arange(q_n), tw)
+    ka, kb2 = jnp.divmod(jnp.arange(kb_n), kbw)
+    dy = (ka[None, :] - r) - qi[:, None]
+    dx = (kb2[None, :] - rw) - qj[:, None]
+    circle = (dy.astype(jnp.float32)**2 +
+              dx.astype(jnp.float32)**2) < radius * radius
+    oy = (jnp.arange(nth) * th)[:, None, None, None]
+    ox = (jnp.arange(ntw) * tw)[None, :, None, None]
+    aky = ka[None, None, None, :] + oy - r
+    akx = kb2[None, None, None, :] + ox - rw
+    inb = (aky >= 0) & (aky < h) & (akx >= 0) & (akx < w)
+    qin = ((qi[None, None, :, None] + oy) < h) & \
+        ((qj[None, None, :, None] + ox) < w)
+    mask4 = jnp.where(circle[None, None] & inb & qin, 0.0,
+                      NEG_INF).astype(jnp.float32)
+    # pad the mask's last dim to the 128-aligned kb_pad (Mosaic DMA slice
+    # alignment); the kernel reads the first kb_n columns
+    if kb_pad > kb_n:
+        mask4 = jnp.pad(mask4, ((0, 0), (0, 0), (0, 0),
+                                (0, kb_pad - kb_n)),
+                        constant_values=NEG_INF)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nth, ntw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # query (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # bank feats (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # per-tile mask (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, q_n, topk), lambda i, j, *_: (i, j, 0, 0),
@@ -203,9 +214,10 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
             pltpu.VMEM((th, tw, c), jnp.float32),        # q_buf
             pltpu.VMEM((2, kbh, kbw, c), jnp.float32),    # key_buf
             pltpu.VMEM((q_n, total_k), jnp.float32),      # scores
-            pltpu.VMEM((q_n, kb_n), jnp.float32),         # mask
+            pltpu.VMEM((q_n, kb_pad), jnp.float32),       # mask
             pltpu.SemaphoreType.DMA(()),                  # sem_q
             pltpu.SemaphoreType.DMA((2,)),                # sem_k
+            pltpu.SemaphoreType.DMA(()),                  # sem_m
         ],
     )
     top_s, top_i = pl.pallas_call(
@@ -218,7 +230,7 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(bank_valid.astype(jnp.int32), query_padded, bank_feats)
+    )(bank_valid.astype(jnp.int32), query_padded, bank_feats, mask4)
 
     # ---- XLA epilogue: decode flat indices, gather values, softmax ----
     f_idx = top_i // kb_pad
