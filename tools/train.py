@@ -21,6 +21,10 @@ def parse_args():
     parser.add_argument('--auto-resume', action='store_true',
                         help='resume from latest checkpoint in work_dir')
     parser.add_argument('--seed', type=int, default=0, help='random seed')
+    parser.add_argument('--validate', action='store_true',
+                        help='run the propagation eval each epoch (the '
+                             'reference wires this but hard-codes it off, '
+                             'tools/train.py:175)')
     parser.add_argument('--launcher', default='none',
                         choices=['none', 'jax'],
                         help='multi-host launcher')
@@ -74,7 +78,7 @@ def main():
     dataset = build_dataset(cfg.data.train)
     logger.info(f'Start training: {len(dataset)} samples, '
                 f'{cfg.total_epochs} epochs')
-    train_model(model, dataset, cfg, validate=False, logger=logger)
+    train_model(model, dataset, cfg, validate=args.validate, logger=logger)
 
 
 if __name__ == '__main__':

@@ -119,6 +119,17 @@ def train_model(model, dataset, cfg, validate: bool = False,
     if cfg.get('log_config'):
         log_interval = cfg.log_config.get('interval', 50)
 
+    eval_hook = None
+    if validate and cfg.get('data') and cfg.data.get('val'):
+        from ..core.evaluation.eval_hooks import EvalHook
+        eval_cfg = dict(cfg.get('evaluation') or {})
+        state_box = {'state': state}
+        eval_hook = EvalHook(
+            build_val_eval_fn(cfg, lambda: state_box['state']),
+            interval=eval_cfg.get('interval', 1),
+            key_indicator=eval_cfg.get('key_indicator'),
+            rule=eval_cfg.get('rule'), work_dir=work_dir)
+
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t_iter = time.time()
@@ -147,4 +158,37 @@ def train_model(model, dataset, cfg, validate: bool = False,
                     os.path.join(work_dir, 'checkpoints'), epoch + 1,
                     jax.device_get(state))
                 logger.info(f'checkpoint saved to {path}')
+        if validate and eval_hook is not None:
+            state_box['state'] = state
+            results = eval_hook.after_epoch(epoch)
+            if results:
+                jsonl.log(dict(mode='val', epoch=epoch + 1, **{
+                    k: float(v) for k, v in results.items()
+                    if isinstance(v, (int, float))}))
     return state
+
+
+def build_val_eval_fn(cfg, state_getter):
+    """Build an eval_fn running the propagation eval on ``cfg.data.val``
+    with the CURRENT training backbone weights (the wiring the reference
+    has but never enables: apis/train.py:99-113, tools/train.py:175)."""
+    from ..datasets import build_dataset
+    from ..models import build_model
+    from .test import single_process_test
+
+    dataset = build_dataset(cfg.data.val, dict(test_mode=True))
+    tracker = build_model(
+        dict(type='VanillaTracker', backbone=dict(cfg.model.backbone)),
+        test_cfg=cfg.test_cfg)
+
+    def eval_fn():
+        state = state_getter()
+        params = state.params.get('_backbone', state.params)
+        stats = state.batch_stats.get('_backbone', state.batch_stats)
+        tracker.variables = {'params': params, 'batch_stats': stats}
+        results = single_process_test(tracker, dataset, progress=False)
+        metrics = cfg.evaluation.get('metrics', 'davis') \
+            if cfg.get('evaluation') else 'davis'
+        return dataset.evaluate(results, metrics=metrics)
+
+    return eval_fn

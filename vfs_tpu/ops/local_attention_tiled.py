@@ -95,6 +95,7 @@ def local_masked_topk_attend(query: jnp.ndarray,
         kt = kt.reshape(f * kbh * kbw, c)
         vt = vt.reshape(f * kbh * kbw, k_classes)
         scores = jnp.einsum('kc,qc->qk', kt, qt,
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32) / temperature
         # in-bounds: absolute key coords within the un-padded image
         aky = ka[None, :] + oy - r

@@ -48,8 +48,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
-    """Device-put a host batch dict with the batch dim sharded."""
-    sharding = data_sharding(mesh, axis)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding)
-        if hasattr(x, 'ndim') and x.ndim > 0 else x, batch)
+    """Device-put a host batch dict with the batch dim sharded over the
+    mesh. Arrays whose leading dim does not divide the mesh fall back to
+    replication (tiny smoke batches)."""
+    sharded = data_sharding(mesh, axis)
+    repl = replicated(mesh)
+    n = mesh.shape[axis]
+
+    def put(x):
+        if not hasattr(x, 'ndim') or x.ndim == 0:
+            return x
+        if x.shape[0] % n == 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(put, batch)
