@@ -77,3 +77,23 @@ def create_labels(response_hw, r_pos: float, r_neg: float,
     rn = r_neg / total_stride
     labels = np.where(dist <= rp, 1.0, np.where(dist < rn, 0.5, 0.0))
     return labels.astype(np.float32)
+
+
+def ghmc_loss(logits: jnp.ndarray, target: jnp.ndarray, bins: int = 30
+              ) -> jnp.ndarray:
+    """Gradient-harmonizing BCE (reference losses.py:69-105; stateless
+    variant — the torch original keeps a momentum accumulator across steps,
+    here density is computed per batch, jit-friendly)."""
+    prob = jax.nn.sigmoid(logits)
+    g = jnp.abs(prob - target)
+    tot = logits.size
+    edges = jnp.linspace(0.0, 1.0 + 1e-6, bins + 1)
+    which = jnp.clip((g * bins).astype(jnp.int32), 0, bins - 1)
+    counts = jnp.zeros((bins,)).at[which.reshape(-1)].add(1.0)
+    density = counts[which]
+    weights = jnp.where(density > 0, tot / jnp.maximum(density, 1.0), 0.0)
+    weights = weights / jnp.maximum(weights.mean(), 1e-12)
+    log_p = jax.nn.log_sigmoid(logits)
+    log_np = jax.nn.log_sigmoid(-logits)
+    bce = -(target * log_p + (1 - target) * log_np)
+    return (bce * weights).sum() / tot

@@ -1,6 +1,8 @@
-from .augmentations import (CenterCrop, ColorJitter, Flip, Normalize,
-                            RandomGaussianBlur, RandomGrayScale,
-                            RandomResizedCrop, Resize)
+from .augmentations import (CenterCrop, ColorJitter, Flip, MultiScaleCrop,
+                            Normalize, PhotoMetricDistortion, RandomCrop,
+                            RandomErasing, RandomGaussianBlur,
+                            RandomGrayScale, RandomResizedCrop, Resize,
+                            RGB2LAB, TenCrop, ThreeCrop)
 from .compose import Compose
 from .formating import Collect, FormatShape, ToTensor, Transpose
 from .loading import (Clip2Frame, DecordDecode, DecordInit, DuplicateFrames,
@@ -8,7 +10,7 @@ from .loading import (Clip2Frame, DecordDecode, DecordInit, DuplicateFrames,
                       SampleFrames, SequentialSampleFrames)
 
 __all__ = [
-    'CenterCrop', 'ColorJitter', 'Flip', 'Normalize', 'RandomGaussianBlur',
+    'CenterCrop', 'ColorJitter', 'Flip', 'MultiScaleCrop', 'Normalize', 'PhotoMetricDistortion', 'RandomCrop', 'RandomErasing', 'RGB2LAB', 'TenCrop', 'ThreeCrop', 'RandomGaussianBlur',
     'RandomGrayScale', 'RandomResizedCrop', 'Resize', 'Compose', 'Collect',
     'FormatShape', 'ToTensor', 'Transpose', 'Clip2Frame', 'DecordDecode',
     'DecordInit', 'DuplicateFrames', 'Frame2Clip', 'OpenCVDecode',

@@ -353,3 +353,222 @@ class RandomGaussianBlur:
                 results['imgs'][i] = cv2.GaussianBlur(
                     results['imgs'][i], (0, 0), sigma)
         return results
+
+
+@PIPELINES.register_module()
+class RandomCrop:
+    """Fixed-size random crop (reference augmentations.py:97-170)."""
+
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, results):
+        img_h, img_w = results['img_shape']
+        size = self.size
+        assert size <= img_h and size <= img_w
+        y_offset = np.random.randint(0, img_h - size + 1)
+        x_offset = np.random.randint(0, img_w - size + 1)
+        results['imgs'] = [
+            img[y_offset:y_offset + size, x_offset:x_offset + size]
+            for img in results['imgs']
+        ]
+        results['crop_bbox'] = np.array(
+            [x_offset, y_offset, x_offset + size, y_offset + size])
+        results['img_shape'] = (size, size)
+        return results
+
+
+@PIPELINES.register_module()
+class MultiScaleCrop:
+    """TSN-style multi-scale crop from fixed positions (reference
+    augmentations.py:338-487)."""
+
+    def __init__(self, input_size, scales=(1,), max_wh_scale_gap=1,
+                 random_crop=False, num_fixed_crops=5):
+        self.input_size = (input_size, input_size) if isinstance(
+            input_size, int) else tuple(input_size)
+        self.scales = scales
+        self.max_wh_scale_gap = max_wh_scale_gap
+        self.random_crop = random_crop
+        self.num_fixed_crops = num_fixed_crops
+
+    def __call__(self, results):
+        img_h, img_w = results['img_shape']
+        base_size = min(img_h, img_w)
+        crop_sizes = [int(base_size * s) for s in self.scales]
+        candidates = []
+        for i, h in enumerate(crop_sizes):
+            for j, w in enumerate(crop_sizes):
+                if abs(i - j) <= self.max_wh_scale_gap:
+                    candidates.append((w, h))
+        crop_w, crop_h = candidates[np.random.randint(len(candidates))]
+        if self.random_crop:
+            x_offset = np.random.randint(0, img_w - crop_w + 1)
+            y_offset = np.random.randint(0, img_h - crop_h + 1)
+        else:
+            w_step = (img_w - crop_w) // 4
+            h_step = (img_h - crop_h) // 4
+            positions = [(0, 0), (4 * w_step, 0), (0, 4 * h_step),
+                         (4 * w_step, 4 * h_step), (2 * w_step, 2 * h_step)]
+            if self.num_fixed_crops == 13:
+                positions += [(0, 2 * h_step), (4 * w_step, 2 * h_step),
+                              (2 * w_step, 4 * h_step), (2 * w_step, 0),
+                              (1 * w_step, 1 * h_step),
+                              (3 * w_step, 1 * h_step),
+                              (1 * w_step, 3 * h_step),
+                              (3 * w_step, 3 * h_step)]
+            x_offset, y_offset = positions[np.random.randint(len(positions))]
+        results['imgs'] = [
+            img[y_offset:y_offset + crop_h, x_offset:x_offset + crop_w]
+            for img in results['imgs']
+        ]
+        results['crop_bbox'] = np.array(
+            [x_offset, y_offset, x_offset + crop_w, y_offset + crop_h])
+        results['img_shape'] = (crop_h, crop_w)
+        results['scales'] = self.scales
+        return results
+
+
+@PIPELINES.register_module()
+class ThreeCrop:
+    """Three crops along the longer side (reference
+    augmentations.py:868-939); triples the frame count."""
+
+    def __init__(self, crop_size):
+        self.crop_size = (crop_size, crop_size) if isinstance(
+            crop_size, int) else tuple(crop_size)
+
+    def __call__(self, results):
+        img_h, img_w = results['img_shape']
+        crop_w, crop_h = self.crop_size
+        assert crop_h == img_h or crop_w == img_w
+        if crop_h == img_h:
+            w_step = (img_w - crop_w) // 2
+            offsets = [(0, 0), (2 * w_step, 0), (w_step, 0)]
+        else:
+            h_step = (img_h - crop_h) // 2
+            offsets = [(0, 0), (0, 2 * h_step), (0, h_step)]
+        cropped = []
+        for x, y in offsets:
+            cropped.extend(
+                [img[y:y + crop_h, x:x + crop_w]
+                 for img in results['imgs']])
+        results['imgs'] = cropped
+        results['img_shape'] = (crop_h, crop_w)
+        results['num_clips'] = results['num_clips'] * 3
+        return results
+
+
+@PIPELINES.register_module()
+class TenCrop:
+    """Four corners + center, flipped and not (reference
+    augmentations.py:939-1008); 10x the frame count."""
+
+    def __init__(self, crop_size):
+        self.crop_size = (crop_size, crop_size) if isinstance(
+            crop_size, int) else tuple(crop_size)
+
+    def __call__(self, results):
+        img_h, img_w = results['img_shape']
+        crop_w, crop_h = self.crop_size
+        w_step = (img_w - crop_w) // 4
+        h_step = (img_h - crop_h) // 4
+        offsets = [(0, 0), (4 * w_step, 0), (0, 4 * h_step),
+                   (4 * w_step, 4 * h_step), (2 * w_step, 2 * h_step)]
+        cropped = []
+        for x, y in offsets:
+            crops = [img[y:y + crop_h, x:x + crop_w]
+                     for img in results['imgs']]
+            flipped = [np.flip(c, axis=1).copy() for c in crops]
+            cropped.extend(crops)
+            cropped.extend(flipped)
+        results['imgs'] = cropped
+        results['img_shape'] = (crop_h, crop_w)
+        results['num_clips'] = results['num_clips'] * 10
+        return results
+
+
+@PIPELINES.register_module()
+class RGB2LAB:
+    """RGB -> LAB color space (reference augmentations.py:1075-1086)."""
+
+    def __call__(self, results):
+        import cv2
+        results['imgs'] = [
+            cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+            for img in results['imgs']
+        ]
+        return results
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion:
+    """Random brightness/contrast/saturation/hue distortion (reference
+    augmentations.py:1087-1224)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results):
+        import cv2
+        out = []
+        for img in results['imgs']:
+            img = img.astype(np.float32)
+            if np.random.randint(2):
+                img += np.random.uniform(-self.brightness_delta,
+                                         self.brightness_delta)
+            mode = np.random.randint(2)
+            if mode == 1 and np.random.randint(2):
+                img *= np.random.uniform(self.contrast_lower,
+                                         self.contrast_upper)
+            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                               cv2.COLOR_RGB2HSV).astype(np.float32)
+            if np.random.randint(2):
+                hsv[..., 1] *= np.random.uniform(self.saturation_lower,
+                                                 self.saturation_upper)
+            if np.random.randint(2):
+                hsv[..., 0] = (hsv[..., 0] + np.random.uniform(
+                    -self.hue_delta, self.hue_delta)) % 180
+            img = cv2.cvtColor(
+                np.clip(hsv, 0, [179, 255, 255]).astype(np.uint8),
+                cv2.COLOR_HSV2RGB).astype(np.float32)
+            if mode == 0 and np.random.randint(2):
+                img *= np.random.uniform(self.contrast_lower,
+                                         self.contrast_upper)
+            out.append(np.clip(img, 0, 255).astype(np.uint8))
+        results['imgs'] = out
+        return results
+
+
+@PIPELINES.register_module()
+class RandomErasing:
+    """Random rectangle erase per frame (reference
+    augmentations.py:1478-1530)."""
+
+    def __init__(self, p=0.5, area_range=(0.02, 0.33),
+                 aspect_range=(0.3, 3.3), fill=0):
+        self.p = p
+        self.area_range = area_range
+        self.aspect_range = aspect_range
+        self.fill = fill
+
+    def __call__(self, results):
+        out = []
+        for img in results['imgs']:
+            if np.random.rand() < self.p:
+                img = img.copy()
+                h, w = img.shape[:2]
+                area = h * w * np.random.uniform(*self.area_range)
+                aspect = np.random.uniform(*self.aspect_range)
+                eh = min(h, int(round(np.sqrt(area * aspect))))
+                ew = min(w, int(round(np.sqrt(area / aspect))))
+                y = np.random.randint(0, h - eh + 1)
+                x = np.random.randint(0, w - ew + 1)
+                img[y:y + eh, x:x + ew] = self.fill
+            out.append(img)
+        results['imgs'] = out
+        return results

@@ -110,3 +110,60 @@ class SimSiamHead(nn.Module):
         loss_feat = (self._loss_feat(p1, jax.lax.stop_gradient(z2)) * 0.5 +
                      self._loss_feat(p2, jax.lax.stop_gradient(z1)) * 0.5)
         return {'loss_feat': loss_feat * weight}
+
+
+@HEADS.register_module()
+class DenseSimSiamHead(nn.Module):
+    """Dense (per-pixel conv) SimSiam variant — registered but unused by
+    the shipped configs (reference sim_siam_head.py:177-284)."""
+    in_channels: int
+    kernel_size: int = 1
+    num_projection_convs: int = 3
+    projection_mid_channels: int = 2048
+    projection_out_channels: int = 2048
+    num_predictor_convs: int = 2
+    predictor_mid_channels: int = 512
+    predictor_out_channels: int = 2048
+    loss_feat: Any = None
+    norm_cfg: Any = None
+    sync_axis: Optional[str] = None
+
+    def setup(self):
+        loss_cfg = self.loss_feat or dict(type='CosineSimLoss',
+                                          negative=False, pairwise=True)
+        self._loss_feat = build_loss(dict(loss_cfg))
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ura = not train
+        k = (self.kernel_size, self.kernel_size)
+        z = x
+        for i in range(self.num_projection_convs):
+            is_last = i == self.num_projection_convs - 1
+            feats = self.projection_out_channels if is_last \
+                else self.projection_mid_channels
+            z = nn.Conv(feats, k, padding='SAME', use_bias=False,
+                        name=f'projection_conv{i}')(z)
+            z = nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                             epsilon=1e-5, name=f'projection_bn{i}')(z)
+            if not is_last:
+                z = nn.relu(z)
+        p = z
+        for i in range(self.num_predictor_convs):
+            is_last = i == self.num_predictor_convs - 1
+            feats = self.predictor_out_channels if is_last \
+                else self.predictor_mid_channels
+            p = nn.Conv(feats, k, padding='SAME', use_bias=False,
+                        name=f'predictor_conv{i}')(p)
+            if not is_last:
+                p = nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                                 epsilon=1e-5, name=f'predictor_bn{i}')(p)
+                p = nn.relu(p)
+        return z, p
+
+    def loss(self, p1, z1, p2, z2, mask12=None, mask21=None, weight=1.0):
+        import jax
+        loss_feat = (
+            self._loss_feat(p1, jax.lax.stop_gradient(z2), mask12) * 0.5 +
+            self._loss_feat(p2, jax.lax.stop_gradient(z1), mask21) * 0.5)
+        return {'loss_feat': loss_feat * weight}
