@@ -218,6 +218,9 @@ class VanillaTracker:
             if neighbor_range is not None and not use_local:
                 mask = spatial_neighbor(h, w, neighbor_range, mode='circle')
 
+            default_backend = ('pallas'
+                               if jax.default_backend() == 'tpu'
+                               else 'tiled')
             cfg = PropagationConfig(
                 precede_frames=int(test_cfg.get('precede_frames', 20)),
                 topk=int(test_cfg.get('topk', 10)),
@@ -226,7 +229,8 @@ class VanillaTracker:
                 with_first_neighbor=with_first_neighbor,
                 with_norm=with_norm,
                 neighbor_range=int(neighbor_range)
-                if use_local else None)
+                if use_local else None,
+                backend=test_cfg.get('backend', default_backend))
 
             seg_preds, seg_logits = self._propagate_decode(
                 feats=feat, seg_first=jnp.asarray(seg_first),

@@ -50,6 +50,10 @@ class PropagationConfig(NamedTuple):
     # instead of the dense masked path (identical results; ~10x faster).
     neighbor_range: Optional[int] = None
     tile: tuple = (12, 16)  # best measured for 60x107 stride-8 DAVIS 480p
+    # 'tiled' = XLA locality path; 'pallas' = fused kernel (requires
+    # neighbor_range + with_first_neighbor); 'dense' = reference chunked
+    backend: str = 'tiled'
+    pallas_tile: tuple = (8, 8)
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -168,6 +172,8 @@ def propagate_video(feats: jnp.ndarray,
 
     use_local = (cfg.neighbor_range is not None and cfg.with_first_neighbor
                  and cfg.with_norm)
+    if use_local and cfg.backend == 'pallas' and cfg.with_first:
+        return _propagate_video_pallas(feats, seg_first, cfg)
     if use_local:
         # normalize the whole bank once; the tiled kernel assumes
         # pre-normalized features
@@ -217,5 +223,52 @@ def propagate_video(feats: jnp.ndarray,
         return (ring_feat, ring_seg), seg_logit
 
     _, seg_logits = jax.lax.scan(step, (ring_feat0, ring_seg0),
+                                 jnp.arange(1, t_total))
+    return jnp.concatenate([seg_first[None], seg_logits], axis=0)
+
+
+def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
+                            cfg: PropagationConfig) -> jnp.ndarray:
+    """Pallas-backed propagation: same scan/ring-buffer semantics, the
+    per-step attention runs the fused kernel. Bank slot 0 = the prepended
+    first frame; slots 1..P = the window ring (frame f at slot 1 + f%P —
+    attention is permutation invariant over keys)."""
+    from .pallas_attention import pad_for_pallas, pallas_local_topk_attend
+    t_total, h, w, c = feats.shape
+    k_classes = seg_first.shape[-1]
+    p = cfg.precede_frames
+    radius = cfg.neighbor_range // 2
+    tile = cfg.pallas_tile
+
+    feats = l2_normalize(feats, axis=-1)
+    feats_pad = pad_for_pallas(feats, h, w, radius, tile)
+    hp2, wp2 = feats_pad.shape[1:3]
+
+    bank_feats0 = jnp.zeros((p + 1, hp2, wp2, c), feats.dtype)
+    bank_feats0 = bank_feats0.at[0].set(feats_pad[0])
+    bank_feats0 = bank_feats0.at[1].set(feats_pad[0])  # ring slot for f=0
+    bank_vals0 = jnp.zeros((p + 1, h, w, k_classes), jnp.float32)
+    bank_vals0 = bank_vals0.at[0].set(seg_first)
+    bank_vals0 = bank_vals0.at[1].set(seg_first)
+
+    def step(carry, t):
+        bank_feats, bank_vals = carry
+        query = jax.lax.dynamic_index_in_dim(feats_pad, t, 0,
+                                             keepdims=False)
+        valid = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (jnp.arange(p) < t).astype(jnp.int32)], axis=0)
+        seg_logit = pallas_local_topk_attend(
+            query, bank_feats, bank_vals, valid, radius=float(radius),
+            temperature=cfg.temperature, topk=cfg.topk, h=h, w=w,
+            tile=tile)
+        slot = 1 + jnp.mod(t, p)
+        bank_feats = jax.lax.dynamic_update_index_in_dim(
+            bank_feats, query, slot, 0)
+        bank_vals = jax.lax.dynamic_update_index_in_dim(
+            bank_vals, seg_logit, slot, 0)
+        return (bank_feats, bank_vals), seg_logit
+
+    _, seg_logits = jax.lax.scan(step, (bank_feats0, bank_vals0),
                                  jnp.arange(1, t_total))
     return jnp.concatenate([seg_first[None], seg_logits], axis=0)
