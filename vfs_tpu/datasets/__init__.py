@@ -8,11 +8,12 @@ from .image_dataset import ImageDataset
 from .jhmdb_dataset import JHMDBDataset
 from .rawframe_dataset import RawframeDataset
 from .registry import DATASETS, PIPELINES
+from .ssn_dataset import SSNDataset
 from .video_dataset import VideoDataset
 from .vip_dataset import VIPDataset
 
 __all__ = [
     'ActivityNetDataset', 'BaseDataset', 'DataLoader', 'build_dataloader', 'build_dataset',
     'RepeatDataset', 'DavisDataset', 'ImageDataset', 'JHMDBDataset',
-    'RawframeDataset', 'DATASETS', 'PIPELINES', 'VideoDataset', 'VIPDataset'
+    'RawframeDataset', 'DATASETS', 'PIPELINES', 'SSNDataset', 'VideoDataset', 'VIPDataset'
 ]
