@@ -4,6 +4,7 @@ from .resnet import (ARCH_SETTINGS, BasicBlock, Bottleneck, ConvBN, ResNet,
 from .resnet3d import BasicBlock3d, Bottleneck3d, ResNet3d, ResNet3dSlowOnly
 from .resnet3d_variants import (ResNet2Plus1d, ResNet3dCSN,
                                 ResNet3dSlowFast)
+from .resnet_tin import ResNetTIN, TemporalInterlace, linear_sampler, tin_shift
 from .resnet_tsm import ResNetTSM, temporal_shift
 
 __all__ = [
@@ -11,5 +12,5 @@ __all__ = [
     'ResNetBlockwise', 'max_pool_3x3_s2', 'AlexNetV1', 'AlexNetV2',
     'AlexNetV3', 'BasicBlock3d', 'Bottleneck3d', 'ResNet3d',
     'ResNet3dSlowOnly', 'ResNet2Plus1d', 'ResNet3dCSN', 'ResNet3dSlowFast',
-    'ResNetTSM', 'temporal_shift'
+    'ResNetTSM', 'temporal_shift', 'ResNetTIN', 'TemporalInterlace', 'linear_sampler', 'tin_shift'
 ]
