@@ -1,0 +1,104 @@
+"""ctypes bridge to the native C++ frame loader.
+
+Builds ``vfs_tpu/native/libframe_loader.so`` on first use (g++ + libjpeg,
+both baked into the image) and exposes ``decode_jpeg_batch`` — a
+GIL-free threaded JPEG decode+resize into one contiguous uint8 RGB batch.
+This is the decord-equivalent native IO path (SURVEY §2.9); callers fall
+back to cv2 when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                       'native')
+_SRC = osp.join(_NATIVE_DIR, 'frame_loader.cpp')
+_SO = osp.join(_NATIVE_DIR, 'libframe_loader.so')
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> bool:
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC, '-ljpeg',
+           '-lpthread', '-o', _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib if _lib is not False else None
+        if not osp.isfile(_SO) or (osp.isfile(_SRC) and
+                                   os.path.getmtime(_SRC) >
+                                   os.path.getmtime(_SO)):
+            if not _build():
+                _lib = False
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _lib = False
+            return None
+        lib.fl_decode_batch.restype = ctypes.c_int
+        lib.fl_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.fl_probe.restype = ctypes.c_int
+        lib.fl_probe.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return lib
+
+
+def probe_jpeg(path: str) -> Optional[Tuple[int, int]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.fl_probe(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 1:
+        return None
+    return h.value, w.value
+
+
+def decode_jpeg_batch(paths: List[str],
+                      out_hw: Optional[Tuple[int, int]] = None,
+                      num_threads: int = 8) -> Optional[np.ndarray]:
+    """Decode JPEGs into one (N, H, W, 3) uint8 RGB array.
+
+    ``out_hw=None`` uses the first frame's native size (all frames of a
+    video share it). Returns None if the native path is unavailable or any
+    frame fails (caller falls back to cv2)."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    if out_hw is None:
+        probed = probe_jpeg(paths[0])
+        if probed is None:
+            return None
+        out_hw = probed
+    n = len(paths)
+    out = np.empty((n, out_hw[0], out_hw[1], 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    ok = lib.fl_decode_batch(
+        arr, n, out_hw[0], out_hw[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    if ok != n:
+        return None
+    return out

@@ -243,30 +243,48 @@ class RawFrameDecode:
     annotation into ``ref_seg_map`` (reference loading.py:977-1069).
     """
 
-    def __init__(self, io_backend='disk', decoding_backend='cv2', **kwargs):
+    def __init__(self, io_backend='disk', decoding_backend='cv2',
+                 num_threads=8, **kwargs):
         assert io_backend == 'disk'
+        # 'native' = the C++ libjpeg worker pool (GIL-free, threaded;
+        # vfs_tpu/native) — wins on many-core TPU-VM hosts where python
+        # threads serialize on the GIL; on single-core boxes cv2's SIMD
+        # turbo decode is faster, so cv2 stays the default. Falls back to
+        # cv2 automatically when unavailable or non-JPEG.
+        self.decoding_backend = decoding_backend
+        self.num_threads = num_threads
 
     def __call__(self, results):
-        import cv2
         directory = results['frame_dir']
         filename_tmpl = results['filename_tmpl']
         offset = results.get('offset', 0)
         frame_inds = results['frame_inds']
         if frame_inds.ndim != 1:
             frame_inds = np.squeeze(frame_inds)
-        imgs = []
+        paths = []
         for frame_idx in frame_inds:
             frame_idx = int(frame_idx) + offset
             if 'frame_list' in results:
-                filepath = osp.join(directory,
-                                    results['frame_list'][frame_idx])
+                paths.append(osp.join(directory,
+                                      results['frame_list'][frame_idx]))
             else:
-                filepath = osp.join(directory,
-                                    filename_tmpl.format(frame_idx))
-            img = cv2.imread(filepath, cv2.IMREAD_COLOR)
-            if img is None:
-                raise IOError(f'cannot read frame {filepath}')
-            imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+                paths.append(osp.join(directory,
+                                      filename_tmpl.format(frame_idx)))
+        imgs = None
+        if (self.decoding_backend == 'native'
+                and paths and paths[0].lower().endswith(('.jpg', '.jpeg'))):
+            from ..native_loader import decode_jpeg_batch
+            batch = decode_jpeg_batch(paths, num_threads=self.num_threads)
+            if batch is not None:
+                imgs = list(batch)
+        if imgs is None:
+            import cv2
+            imgs = []
+            for filepath in paths:
+                img = cv2.imread(filepath, cv2.IMREAD_COLOR)
+                if img is None:
+                    raise IOError(f'cannot read frame {filepath}')
+                imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
         results['imgs'] = imgs
         results['original_shape'] = imgs[0].shape[:2]
         results['img_shape'] = imgs[0].shape[:2]
