@@ -62,17 +62,23 @@ def main():
     preds = model.forward_test(imgs, seg, meta)
     assert preds[0].shape == (T_FRAMES, HEIGHT, WIDTH)
 
-    # timed runs (axon tunnel: time whole forward_test incl. host sync —
-    # completion is forced because predictions are fetched to host)
+    # timed runs, mirroring the production eval loop: the next video's
+    # host->device transfer (model.preload) overlaps the current video's
+    # compute on a background thread (apis/test.py single_process_test)
+    import concurrent.futures
     runs = int(os.environ.get('BENCH_RUNS', 3))
-    times = []
-    for _ in range(runs):
-        t0 = time.time()
-        preds = model.forward_test(imgs, seg, meta)
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    t0 = time.time()
+    pending = pool.submit(model.preload, imgs)
+    for i in range(runs):
+        handle = pending.result()
+        if i + 1 < runs:
+            pending = pool.submit(model.preload, imgs)
+        preds = model.forward_test(handle, seg, meta)
         np.asarray(preds[0]).sum()
-        times.append(time.time() - t0)
-    best = min(times)
-    fps = T_FRAMES / best
+    total = time.time() - t0
+    pool.shutdown(wait=False)
+    fps = T_FRAMES * runs / total
     print(json.dumps({
         'metric': 'davis480p_label_propagation_fps_per_chip',
         'value': round(fps, 2),

@@ -16,23 +16,47 @@ import numpy as np
 from ..utils import get_root_logger, terminal_is_available
 
 
-def single_process_test(model, dataset, progress: bool = True) -> List:
+def single_process_test(model, dataset, progress: bool = True,
+                        prefetch: bool = True) -> List:
+    """Evaluate every video; with ``prefetch`` the next video is decoded
+    and transferred to the device (``model.preload``) on a background
+    thread while the current one computes — the host link is the
+    bottleneck on TPU-VMs (SURVEY §3.2's device-boundary note)."""
+    import concurrent.futures
+
     logger = get_root_logger()
     results = []
     n = len(dataset)
-    for i in range(n):
+
+    def fetch(i):
         sample = dataset[i]
         imgs = sample['imgs']
         # (num_clips, T, H, W, C) -> (T, H, W, C); eval uses one clip
         if imgs.ndim == 5:
             assert imgs.shape[0] == 1
             imgs = imgs[0]
+        if prefetch and hasattr(model, 'preload'):
+            imgs = model.preload(imgs)
+        return sample, imgs
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1) \
+        if prefetch else None
+    pending = pool.submit(fetch, 0) if pool else None
+    for i in range(n):
+        if pool:
+            sample, imgs = pending.result()
+            if i + 1 < n:
+                pending = pool.submit(fetch, i + 1)
+        else:
+            sample, imgs = fetch(i)
         preds = model.forward_test(imgs, sample['ref_seg_map'],
                                    [sample['img_meta']])
         results.extend(preds)
         if progress:
             logger.info(f'eval [{i + 1}/{n}] '
                         f'{sample["img_meta"].get("frame_dir", "")}')
+    if pool:
+        pool.shutdown(wait=False)
     return results
 
 

@@ -145,32 +145,42 @@ class VanillaTracker:
         return seg_preds, seg_logits
 
     # -- orchestration ----------------------------------------------------
-    def forward_test(self, imgs: np.ndarray, ref_seg_map: np.ndarray,
-                     img_meta: List[Dict[str, Any]]):
-        """Propagate ``ref_seg_map`` (H0, W0 int labels) through ``imgs``
-        (T, H, W, 3 normalized float RGB). Returns per-feat list of
-        (T, H0, W0) uint8 prediction arrays (reference forward_test,
-        vanilla_tracker.py:80-206)."""
-        test_cfg = self.test_cfg
-        batch_step = int(test_cfg.get('batch_step', 10))
+    def preload(self, imgs: np.ndarray):
+        """Pad T to the compile bucket and start the async host->device
+        transfer. Returns an opaque handle accepted by ``forward_test`` —
+        call from a prefetch thread to overlap the (slow) host link with
+        the previous video's compute."""
+        batch_step = int(self.test_cfg.get('batch_step', 10))
         t_real = imgs.shape[0]
-        # bucket T so the scan compiles once per bucket; must also divide
-        # into batch_step chunks for feature extraction
         t_pad = _round_up(max(t_real, 2), max(batch_step, 20))
         t_pad = _round_up(t_pad, batch_step)
         imgs_pad = np.concatenate(
             [imgs, np.zeros((t_pad - t_real,) + imgs.shape[1:],
                             imgs.dtype)], axis=0) if t_pad > t_real else imgs
+        return ('preloaded', jax.device_put(jnp.asarray(imgs_pad)), t_real)
+
+    def forward_test(self, imgs, ref_seg_map: np.ndarray,
+                     img_meta: List[Dict[str, Any]]):
+        """Propagate ``ref_seg_map`` (H0, W0 int labels) through ``imgs``
+        (T, H, W, 3 normalized float RGB, or uint8 + img_norm_cfg in meta,
+        or a ``preload`` handle). Returns per-feat list of (T, H0, W0)
+        uint8 prediction arrays (reference forward_test,
+        vanilla_tracker.py:80-206)."""
+        test_cfg = self.test_cfg
+        batch_step = int(test_cfg.get('batch_step', 10))
+        if isinstance(imgs, tuple) and imgs[0] == 'preloaded':
+            imgs_dev, t_real = imgs[1], imgs[2]
+        else:
+            _, imgs_dev, t_real = self.preload(imgs)
 
         norm_mean = norm_std = None
-        if imgs_pad.dtype == np.uint8:
+        if imgs_dev.dtype == jnp.uint8:
             norm_cfg = img_meta[0].get('img_norm_cfg',
                                        dict(mean=np.zeros(3),
                                             std=np.ones(3)))
             norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
             norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
-        feats = self._extract_feats(self.variables,
-                                    jnp.asarray(imgs_pad), batch_step,
+        feats = self._extract_feats(self.variables, imgs_dev, batch_step,
                                     norm_mean, norm_std)
 
         original_shape = tuple(img_meta[0]['original_shape'][:2])
