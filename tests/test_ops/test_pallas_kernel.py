@@ -34,3 +34,28 @@ def test_pallas_interpret_parity(h, w, nr, tile, topk):
         h=h, w=w, tile=tile, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('h,w,nr,tile,topk', [
+    (12, 14, 6, (4, 8), 4),
+])
+def test_pallas_v2_interpret_parity(h, w, nr, tile, topk):
+    from vfs_tpu.ops.pallas_attention_v2 import pallas_local_topk_attend_v2
+    rng = np.random.RandomState(0)
+    f, c, k = 5, 16, 3
+    radius = nr // 2
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    bank_f = l2_normalize(
+        jnp.asarray(rng.randn(f, h, w, c), jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.asarray([1, 1, 1, 0, 0])
+    ref = local_masked_topk_attend(query, bank_f, bank_v,
+                                   valid.astype(bool), radius=radius,
+                                   temperature=0.07, topk=topk, tile=(4, 4))
+    out = pallas_local_topk_attend_v2(
+        pad_for_pallas(query, h, w, radius, tile),
+        pad_for_pallas(bank_f, h, w, radius, tile),
+        bank_v, valid, radius=radius, temperature=0.07, topk=topk,
+        h=h, w=w, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -233,6 +233,10 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
     per-step attention runs the fused kernel. Bank slot 0 = the prepended
     first frame; slots 1..P = the window ring (frame f at slot 1 + f%P —
     attention is permutation invariant over keys)."""
+    # v1 (VMEM scores buffer + batched extraction) pipelines better inside
+    # the scan: A/B on TPU v5e measured 10.2 ms/frame (v1) vs 18.3 (v2,
+    # per-frame extract+merge — faster standalone but its long dependency
+    # chain stalls the scan). v2 stays available for single-shot use.
     from .pallas_attention import pad_for_pallas, pallas_local_topk_attend
     t_total, h, w, c = feats.shape
     k_classes = seg_first.shape[-1]
