@@ -100,6 +100,17 @@ class TrackerSiamFC:
     def _head_fwd(self, variables, zf, xf):
         return self.head.apply(variables['head'], zf, xf)
 
+    @functools.partial(jax.jit, static_argnames=('self',))
+    def _update_fwd(self, variables, kernel, x):
+        """Fused search-branch forward: backbone + xcorr in ONE dispatch
+        (the per-frame loop pays a fixed per-dispatch cost on remote
+        devices; two calls per frame would double it)."""
+        x = (x - IMG_MEAN) / IMG_STD
+        xf = self.backbone.apply(variables['backbone'], x, train=False)
+        if isinstance(xf, tuple):
+            xf = xf[-1]
+        return self.head.apply(variables['head'], kernel, xf)
+
     # -- got10k-compatible Tracker interface --------------------------------
     def init(self, img, box):
         """First-frame init (reference :200-243). box is 1-indexed ltwh."""
@@ -134,8 +145,7 @@ class TrackerSiamFC:
                                  border_value=self.avg_color)
              for f in self.scale_factors]
         x = jnp.asarray(np.stack(x), jnp.float32)
-        xf = self._backbone_fwd(self.variables, x)
-        responses = self._head_fwd(self.variables, self.kernel, xf)
+        responses = self._update_fwd(self.variables, self.kernel, x)
         responses = np.asarray(responses)[..., 0]  # (S, h, w)
         responses = np.stack([
             cv2.resize(u, (self.upscale_sz, self.upscale_sz),
