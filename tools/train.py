@@ -42,7 +42,7 @@ def main():
         jax.config.update('jax_compilation_cache_dir', args.compilation_cache)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
-    from vfs_tpu.apis.train import train_model
+    from vfs_tpu.apis.train import apply_mixed_precision, train_model
     from vfs_tpu.datasets import build_dataset
     from vfs_tpu.models import build_model
     from vfs_tpu.parallel import init_dist
@@ -73,6 +73,7 @@ def main():
 
     set_random_seed(args.seed)
 
+    apply_mixed_precision(cfg)
     model = build_model(cfg.model, train_cfg=cfg.get('train_cfg'),
                         test_cfg=cfg.get('test_cfg'))
     dataset = build_dataset(cfg.data.train)

@@ -46,15 +46,62 @@ def create_train_state(model, rng, sample_batch, tx) -> TrainState:
                       batch_stats=batch_stats, opt_state=opt_state)
 
 
-def make_train_step(model, tx):
+def apply_mixed_precision(cfg) -> bool:
+    """Rewrite a model config for bf16 mixed precision when the config
+    carries the reference's ``fp16 = dict(...)`` key (or ``bf16 = True``).
+
+    TPU-native equivalent of ``Fp16OptimizerHook`` + ``wrap_fp16_model``
+    (reference mmaction/apis/train.py:83-86): the backbone modules get an
+    explicit flax ``dtype=bfloat16`` — compute (conv/BN normalise/ReLU)
+    runs in bf16 on the MXU while parameters stay fp32 (flax
+    ``param_dtype``) and BatchNorm statistics are computed and stored in
+    fp32. Heads/losses keep fp32 (fp32 params promote bf16 features up),
+    mirroring the reference keeping the loss in fp32. bf16's fp32-sized
+    exponent removes the need for loss scaling — ``loss_scale`` keys are
+    accepted and ignored. Returns True if mixed precision was enabled.
+
+    Call before ``build_model`` (mutates ``cfg.model.backbone``).
+    """
+    mixed = bool(cfg.get('fp16') is not None or cfg.get('bf16'))
+    if mixed and isinstance(cfg.get('model'), dict):
+        backbone = cfg.model.get('backbone')
+        if isinstance(backbone, dict):
+            from ..models.registry import BACKBONES
+            klass = BACKBONES.get(backbone.get('type'))
+            if klass is not None and hasattr(klass, 'dtype'):
+                backbone.setdefault('dtype', jnp.bfloat16)
+            else:
+                from ..utils import get_root_logger
+                get_root_logger().warning(
+                    f'fp16/bf16 requested but backbone '
+                    f'{backbone.get("type")!r} has no dtype plumbing; '
+                    f'backbone compute stays fp32')
+    return mixed
+
+
+def make_train_step(model, tx, mixed_precision: bool = False):
+    """Build the jitted train step.
+
+    ``mixed_precision=True`` pairs with :func:`apply_mixed_precision`
+    (which sets the backbone's flax dtype to bf16): the batch is cast to
+    bf16 at the loss boundary, the loss is accumulated in fp32, and any
+    BatchNorm statistic a bf16-dtyped module produced is cast back to
+    the master (fp32) dtype so the running stats never drift to half
+    precision. Master params and the optimizer are always fp32.
+    """
+    half = jnp.bfloat16
 
     def train_step(state: TrainState, imgs):
         def loss_fn(params):
+            x = imgs.astype(half) if mixed_precision else imgs
             outputs, mutated = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
-                imgs, train=True, mutable=['batch_stats'])
+                x, train=True, mutable=['batch_stats'])
             total, log_vars = parse_losses(outputs)
-            return total, (log_vars, mutated['batch_stats'])
+            new_stats = jax.tree.map(
+                lambda new, old: new.astype(jnp.asarray(old).dtype),
+                mutated['batch_stats'], state.batch_stats)
+            return total.astype(jnp.float32), (log_vars, new_stats)
 
         grads, (log_vars, new_stats) = jax.grad(
             loss_fn, has_aux=True)(state.params)
@@ -113,7 +160,16 @@ def train_model(model, dataset, cfg, validate: bool = False,
         start_epoch = int(os.path.basename(latest).split('_')[1])
         logger.info(f'auto-resumed from {latest} (epoch {start_epoch})')
 
-    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    # fp16 = dict(...) in a reference config requests mixed precision;
+    # on TPU that means bf16 compute (loss_scale keys are accepted and
+    # ignored — bf16 needs none). The backbone dtype rewrite happens in
+    # apply_mixed_precision() before the model is built (tools/train.py).
+    mixed = bool(cfg.get('fp16') is not None or cfg.get('bf16'))
+    if mixed:
+        logger.info('mixed precision enabled: bf16 compute, fp32 master '
+                    'params (fp16 config key maps to bf16 on TPU)')
+    train_step = jax.jit(make_train_step(model, tx, mixed_precision=mixed),
+                         donate_argnums=(0,))
 
     log_interval = 50
     if cfg.get('log_config'):
