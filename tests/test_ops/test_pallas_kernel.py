@@ -59,3 +59,29 @@ def test_pallas_v2_interpret_parity(h, w, nr, tile, topk):
         h=h, w=w, tile=tile, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_extract_modes_identical():
+    """'descent' (read-only strict lexicographic descent) must be
+    bit-identical to the default 'mask' extraction, including duplicate
+    scores (tie rule: lowest flat index first)."""
+    rng = np.random.RandomState(3)
+    h, w, f, c, k, topk = 12, 14, 4, 16, 3, 4
+    radius, tile = 3, (4, 8)
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    # duplicate one bank frame so exact score ties occur across frames
+    base = rng.randn(f - 1, h, w, c)
+    bank = np.concatenate([base, base[:1]], axis=0)
+    bank_f = l2_normalize(jnp.asarray(bank, jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.ones((f,), jnp.int32)
+    qp = pad_for_pallas(query, h, w, radius, tile)
+    bp = pad_for_pallas(bank_f, h, w, radius, tile)
+    outs = {
+        mode: np.asarray(pallas_local_topk_attend(
+            qp, bp, bank_v, valid, radius=radius, temperature=0.07,
+            topk=topk, h=h, w=w, tile=tile, interpret=True,
+            extract_mode=mode))
+        for mode in ('mask', 'descent')
+    }
+    np.testing.assert_array_equal(outs['mask'], outs['descent'])
