@@ -30,6 +30,10 @@ def parse_args():
                         help='multi-host launcher')
     parser.add_argument('--options', nargs='+', default=None,
                         help='dotted-key config overrides k=v')
+    parser.add_argument('--profile', type=int, default=0, metavar='N',
+                        help='capture a jax.profiler trace of train steps '
+                             '[2, 2+N) to WORK_DIR/profile (view with '
+                             'tensorboard or xprof)')
     parser.add_argument('--compilation-cache',
                         default='/tmp/vfs_tpu_xla_cache')
     return parser.parse_args()
@@ -59,6 +63,7 @@ def main():
         cfg.work_dir = os.path.join(
             './work_dirs', os.path.splitext(os.path.basename(args.config))[0])
     cfg.seed = args.seed
+    cfg.profile_steps = args.profile
     cfg.auto_resume = args.auto_resume
 
     init_dist(None if args.launcher == 'none' else args.launcher)

@@ -186,12 +186,35 @@ def train_model(model, dataset, cfg, validate: bool = False,
             key_indicator=eval_cfg.get('key_indicator'),
             rule=eval_cfg.get('rule'), work_dir=work_dir)
 
+    # --profile N: jax.profiler trace of steps [2, 2+N) after the compile
+    # step (SURVEY §5 tracing row; reference has only offline benchmark
+    # tools — on TPU a device trace is the native equivalent).
+    profile_steps = max(0, int(cfg.get('profile_steps', 0) or 0))
+    profile_dir = os.path.join(work_dir, 'profile')
+    steps_run = 0
+    trace_active = False
+
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t_iter = time.time()
         for i, batch in enumerate(loader):
             imgs = shard_batch({'imgs': batch['imgs']}, mesh)['imgs']
+            if profile_steps and steps_run == 2:
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                    trace_active = True
+                    logger.info(f'profiler trace started -> {profile_dir}')
+                except Exception as e:  # backend may not support tracing
+                    logger.warning(f'profiler unavailable: {e}')
+                    profile_steps = 0
             state, log_vars = train_step(state, imgs)
+            steps_run += 1
+            if trace_active and steps_run >= 2 + profile_steps:
+                jax.block_until_ready(state.step)
+                jax.profiler.stop_trace()
+                trace_active = False
+                logger.info(f'profiler trace ({profile_steps} steps) '
+                            f'written to {profile_dir}')
             if (i + 1) % log_interval == 0:
                 log_vars = {k: float(v) for k, v in log_vars.items()}
                 step = int(state.step)
@@ -221,6 +244,9 @@ def train_model(model, dataset, cfg, validate: bool = False,
                 jsonl.log(dict(mode='val', epoch=epoch + 1, **{
                     k: float(v) for k, v in results.items()
                     if isinstance(v, (int, float))}))
+    if trace_active:  # fewer steps than requested: close the trace anyway
+        jax.profiler.stop_trace()
+        logger.info(f'profiler trace written to {profile_dir}')
     return state
 
 
