@@ -30,6 +30,11 @@ def parse_args():
                         help='multi-host launcher')
     parser.add_argument('--options', nargs='+', default=None,
                         help='dotted-key config overrides k=v')
+    parser.add_argument('--suffix', default=None,
+                        help='appended to work_dir (and the wandb dir, '
+                             'if configured)')
+    parser.add_argument('--disable-wandb', action='store_true',
+                        help='drop any WandbLoggerHook from log_config')
     parser.add_argument('--profile', type=int, default=0, metavar='N',
                         help='capture a jax.profiler trace of train steps '
                              '[2, 2+N) to WORK_DIR/profile (view with '
@@ -62,6 +67,18 @@ def main():
     elif 'work_dir' not in cfg:
         cfg.work_dir = os.path.join(
             './work_dirs', os.path.splitext(os.path.basename(args.config))[0])
+    if args.suffix is not None:
+        cfg.work_dir = f'{cfg.work_dir}-{args.suffix}'
+    # wandb hook manipulation (reference tools/train.py:89-98)
+    hooks = (cfg.get('log_config') or {}).get('hooks', []) or []
+    for i, h in enumerate(list(hooks)):
+        if isinstance(h, dict) and h.get('type') == 'WandbLoggerHook':
+            if args.disable_wandb:
+                hooks.pop(i)
+                break
+            wdir = h.get('init_kwargs', {}).get('dir')
+            if args.suffix is not None and wdir:
+                h['init_kwargs']['dir'] = f'{wdir}-{args.suffix}'
     cfg.seed = args.seed
     cfg.profile_steps = args.profile
     cfg.auto_resume = args.auto_resume

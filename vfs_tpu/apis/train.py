@@ -122,6 +122,8 @@ def train_model(model, dataset, cfg, validate: bool = False,
     work_dir = cfg.get('work_dir', './work_dirs/default')
     os.makedirs(work_dir, exist_ok=True)
     jsonl = JsonlLogger(os.path.join(work_dir, 'train_log.jsonl'))
+    from ..utils import build_wandb_logger
+    wandb_log = build_wandb_logger(cfg.get('log_config'))
 
     data_cfg = cfg.data
     loader = build_dataloader(
@@ -226,8 +228,11 @@ def train_model(model, dataset, cfg, validate: bool = False,
                        ', '.join(f'{k}: {v:.4f}'
                                  for k, v in log_vars.items()))
                 logger.info(msg)
-                jsonl.log(dict(mode='train', epoch=epoch + 1, iter=i + 1,
-                               lr=float(lr), time=dt, **log_vars))
+                entry = dict(mode='train', epoch=epoch + 1, iter=i + 1,
+                             lr=float(lr), time=dt, **log_vars)
+                jsonl.log(entry)
+                if wandb_log is not None:
+                    wandb_log.log(entry, step=step)
         if jax.process_index() == 0:
             ckpt_interval = 1
             if cfg.get('checkpoint_config'):
@@ -241,12 +246,17 @@ def train_model(model, dataset, cfg, validate: bool = False,
             state_box['state'] = state
             results = eval_hook.after_epoch(epoch)
             if results:
-                jsonl.log(dict(mode='val', epoch=epoch + 1, **{
+                entry = dict(mode='val', epoch=epoch + 1, **{
                     k: float(v) for k, v in results.items()
-                    if isinstance(v, (int, float))}))
+                    if isinstance(v, (int, float))})
+                jsonl.log(entry)
+                if wandb_log is not None:
+                    wandb_log.log(entry, step=int(state.step))
     if trace_active:  # fewer steps than requested: close the trace anyway
         jax.profiler.stop_trace()
         logger.info(f'profiler trace written to {profile_dir}')
+    if wandb_log is not None:
+        wandb_log.finish()
     return state
 
 
