@@ -127,3 +127,31 @@ def test_davis_eval_perfect_predictions(mini_davis):
     assert eval_results['J&F-Mean'] == pytest.approx(1.0)
     assert eval_results['J-Mean'] == pytest.approx(1.0)
     assert eval_results['F-Mean'] == pytest.approx(1.0)
+
+
+def test_vanilla_tracker_bf16_backbone(mini_davis):
+    """model.backbone.dtype='bfloat16' (the eval speed knob): features
+    are cast back to fp32 at the tracker seam so the fp32 propagation
+    path (and the pallas kernel's fp32 buffers) still work."""
+    import jax.numpy as jnp
+    ann_file, img_root, ann_root = mini_davis
+    ds = build_dataset(dict(
+        type='DavisDataset', ann_file=ann_file, data_prefix=img_root,
+        anno_prefix=ann_root, data_root=osp.dirname(img_root),
+        pipeline=VAL_PIPELINE, test_mode=True))
+    model = build_model(
+        dict(type='VanillaTracker',
+             backbone=dict(type='ResNet', depth=18, out_indices=(3,),
+                           dtype='bfloat16')),
+        test_cfg=dict(precede_frames=3, topk=5, temperature=0.07,
+                      strides=(1, 2, 1, 1), out_indices=(2,),
+                      neighbor_range=12, with_first=True,
+                      with_first_neighbor=True, batch_step=4))
+    model.init_weights(input_shape=(1, 64, 96, 3))
+    feats = model._extract_feats(
+        model.variables, jnp.zeros((4, 64, 96, 3), jnp.float32), 4)
+    assert all(f.dtype == jnp.float32 for f in feats)
+    sample = ds[0]
+    preds = model.forward_test(sample['imgs'][0], sample['ref_seg_map'],
+                               [sample['img_meta']])
+    assert preds[0].shape == (8, 64, 96)

@@ -122,7 +122,12 @@ class VanillaTracker:
             if chunk.dtype == jnp.uint8:
                 chunk = (chunk.astype(jnp.float32) - norm_mean) / norm_std
             outs = self.backbone.apply(variables, chunk, train=False)
-            return outs if isinstance(outs, tuple) else (outs,)
+            outs = outs if isinstance(outs, tuple) else (outs,)
+            # a bf16-dtyped backbone (model.backbone.dtype=bfloat16, the
+            # eval speed knob) yields bf16 features; propagation math and
+            # the pallas kernel buffers are fp32 (top-k parity), so cast
+            # at this seam
+            return tuple(o.astype(jnp.float32) for o in outs)
 
         outs = jax.lax.map(fwd, chunks)
         return tuple(o.reshape(t, *o.shape[2:]) for o in outs)
