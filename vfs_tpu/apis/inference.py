@@ -57,6 +57,15 @@ def inference_recognizer(model_tuple, video_path: str,
     if label_path is not None:
         with open(label_path) as f:
             labels = [line.strip() for line in f]
+        if len(labels) < len(scores):
+            # zip would silently drop the tail classes and corrupt the
+            # ranking; pad with index placeholders instead
+            from ..utils import get_root_logger
+            get_root_logger().warning(
+                f'label file has {len(labels)} entries but the model '
+                f'outputs {len(scores)} classes; padding with indices')
+            labels += [f'class_{i}' for i in range(len(labels),
+                                                   len(scores))]
         score_pairs = list(zip(labels, scores))
     else:
         score_pairs = list(enumerate(scores))

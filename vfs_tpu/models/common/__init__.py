@@ -1,3 +1,5 @@
-from .utils import images2video, mean_list, normalize_logit, video2images
+from .utils import (clamp, images2video, mean_list, normalize_logit, unmap,
+                    video2images)
 
-__all__ = ['images2video', 'mean_list', 'normalize_logit', 'video2images']
+__all__ = ['clamp', 'images2video', 'mean_list', 'normalize_logit', 'unmap',
+           'video2images']

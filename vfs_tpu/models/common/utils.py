@@ -38,3 +38,23 @@ def mean_list(tensors):
     for t in tensors[1:]:
         out = out + t
     return out / len(tensors)
+
+
+def unmap(data: jnp.ndarray, count: int, inds: jnp.ndarray,
+          fill=0) -> jnp.ndarray:
+    """Scatter a subset back to the original item count (reference
+    common/utils.py:105-116 ``unmap``; exported helper). ``inds`` is a
+    boolean mask of length ``count``; rows of ``data`` land at its True
+    positions, everything else is ``fill``."""
+    inds = inds.astype(bool)
+    shape = (count,) + data.shape[1:]
+    full = jnp.full(shape, fill, dtype=data.dtype)
+    return full.at[jnp.nonzero(inds, size=data.shape[0])[0]].set(data)
+
+
+def clamp(x: jnp.ndarray, min=None, max=None) -> jnp.ndarray:
+    """Functional stand-in for the reference's ``Clamp`` module
+    (common/utils.py:170-189) — in JAX a module wrapper around clip adds
+    nothing, so this is ``jnp.clip`` with the same argument contract."""
+    assert min is not None or max is not None
+    return jnp.clip(x, min, max)
