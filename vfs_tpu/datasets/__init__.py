@@ -1,3 +1,12 @@
+"""Datasets and the threaded prefetching loader.
+
+Importing this package registers every dataset class and pipeline
+transform, so config-driven ``build_dataset``/``build_dataloader``
+calls resolve without further imports. Video-level datasets return
+decoded clip dicts; annotation-style datasets (DAVIS/JHMDB/VIP) carry
+their own in-repo ``evaluate`` implementations.
+"""
+
 from . import pipelines  # noqa: F401  (register)
 from .activitynet_dataset import ActivityNetDataset
 from .base import BaseDataset
