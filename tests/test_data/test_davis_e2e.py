@@ -155,3 +155,31 @@ def test_vanilla_tracker_bf16_backbone(mini_davis):
     preds = model.forward_test(sample['imgs'][0], sample['ref_seg_map'],
                                [sample['img_meta']])
     assert preds[0].shape == (8, 64, 96)
+
+
+def test_multi_device_eval_matches_single(mini_davis):
+    """Round-robin multi-chip eval (single_process_test(devices=...)) must
+    give bit-identical predictions and the same dataset order as the
+    single-device loop."""
+    import jax
+    import numpy as np
+    from vfs_tpu.apis import single_process_test
+    ann_file, img_root, ann_root = mini_davis
+    ds = build_dataset(dict(
+        type='DavisDataset', ann_file=ann_file, data_prefix=img_root,
+        anno_prefix=ann_root, data_root=osp.dirname(img_root),
+        pipeline=VAL_PIPELINE, test_mode=True))
+    model = build_model(
+        dict(type='VanillaTracker',
+             backbone=dict(type='ResNet', depth=18, out_indices=(3,))),
+        test_cfg=dict(precede_frames=3, topk=5, temperature=0.07,
+                      strides=(1, 2, 1, 1), out_indices=(2,),
+                      neighbor_range=12, with_first=True,
+                      with_first_neighbor=True, batch_step=4))
+    model.init_weights(input_shape=(1, 64, 96, 3))
+    ref = single_process_test(model, ds, progress=False, prefetch=False)
+    par = single_process_test(model, ds, progress=False,
+                              devices=jax.devices()[:4])
+    assert len(ref) == len(par)
+    for a, b in zip(ref, par):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

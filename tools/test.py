@@ -28,6 +28,17 @@ def parse_args():
     parser.add_argument('--output-dir', default=None,
                         help='dir to save palette PNG predictions')
     parser.add_argument('--out', default=None, help='save raw results (.npz)')
+    def _ndev(v):
+        if v != 'all' and not v.isdigit():
+            raise argparse.ArgumentTypeError(
+                f"--local-devices must be a positive integer or 'all', "
+                f"got {v!r}")
+        return v
+
+    parser.add_argument('--local-devices', default='1', type=_ndev,
+                        help="round-robin videos over N local chips "
+                             "('all' = every local device); one worker "
+                             "thread per chip")
     parser.add_argument('--compilation-cache', default='/tmp/vfs_tpu_xla_cache')
     return parser.parse_args()
 
@@ -59,7 +70,15 @@ def main():
     model = build_model(model_cfg, test_cfg=cfg.test_cfg)
     model.init_weights()
 
-    results = multi_process_test(model, dataset)
+    ndev = len(jax.local_devices()) if args.local_devices == 'all' \
+        else int(args.local_devices)
+    if ndev > 1 and jax.process_count() == 1:
+        from vfs_tpu.apis import single_process_test
+        devs = jax.local_devices()[:ndev]
+        logger.info(f'evaluating over {len(devs)} local devices')
+        results = single_process_test(model, dataset, devices=devs)
+    else:
+        results = multi_process_test(model, dataset)
 
     if args.out and jax.process_index() == 0:
         np.savez(args.out, *[np.asarray(r) for r in results])

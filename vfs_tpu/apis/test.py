@@ -17,16 +17,26 @@ from ..utils import get_root_logger, terminal_is_available
 
 
 def single_process_test(model, dataset, progress: bool = True,
-                        prefetch: bool = True) -> List:
+                        prefetch: bool = True, devices=None) -> List:
     """Evaluate every video; with ``prefetch`` the next video is decoded
     and transferred to the device (``model.preload``) on a background
     thread while the current one computes — the host link is the
-    bottleneck on TPU-VMs (SURVEY §3.2's device-boundary note)."""
+    bottleneck on TPU-VMs (SURVEY §3.2's device-boundary note).
+
+    ``devices``: a list of local devices to round-robin videos over
+    (multi-chip hosts; requires ``model.distribute(devices)`` first).
+    One worker thread drives each chip — videos are independent, so
+    per-chip throughput adds up. Replaces the reference's
+    MMDataParallel eval scatter (apis/test.py:143)."""
     import concurrent.futures
 
     logger = get_root_logger()
-    results = []
     n = len(dataset)
+
+    if devices is not None and len(devices) > 1:
+        return _multi_device_test(model, dataset, devices, progress, logger)
+
+    results = []
 
     def fetch(i):
         sample = dataset[i]
@@ -58,6 +68,55 @@ def single_process_test(model, dataset, progress: bool = True,
     if pool:
         pool.shutdown(wait=False)
     return results
+
+
+def _multi_device_test(model, dataset, devices, progress, logger) -> List:
+    """Round-robin videos over local chips, one worker thread per chip.
+
+    Each thread owns device ``devices[t]``: it decodes, transfers
+    (``model.preload(..., device=dev)``) and propagates its share of the
+    videos there, while the other chips do the same concurrently (JAX
+    releases the GIL while a thread blocks on its device). Results keep
+    dataset order.
+    """
+    import concurrent.futures
+
+    if hasattr(model, 'distribute'):
+        model.distribute(devices)
+    n = len(dataset)
+    results: List = [None] * n
+    done = [0]
+    import threading
+    lock = threading.Lock()
+
+    def worker(t):
+        dev = devices[t]
+        for i in range(t, n, len(devices)):
+            sample = dataset[i]
+            imgs = sample['imgs']
+            if imgs.ndim == 5:
+                assert imgs.shape[0] == 1
+                imgs = imgs[0]
+            if hasattr(model, 'preload'):
+                imgs = model.preload(imgs, device=dev)
+            preds = model.forward_test(imgs, sample['ref_seg_map'],
+                                       [sample['img_meta']])
+            results[i] = preds
+            if progress:
+                with lock:
+                    done[0] += 1
+                    logger.info(
+                        f'eval [{done[0]}/{n}] (chip {t}) '
+                        f'{sample["img_meta"].get("frame_dir", "")}')
+
+    with concurrent.futures.ThreadPoolExecutor(len(devices)) as pool:
+        futures = [pool.submit(worker, t) for t in range(len(devices))]
+        for f in futures:
+            f.result()  # surface worker exceptions
+    flat: List = []
+    for preds in results:
+        flat.extend(preds)
+    return flat
 
 
 def multi_process_test(model, dataset) -> List:

@@ -150,11 +150,37 @@ class VanillaTracker:
         return seg_preds, seg_logits
 
     # -- orchestration ----------------------------------------------------
-    def preload(self, imgs: np.ndarray):
+    def distribute(self, devices):
+        """Replicate the weights onto ``devices`` for multi-chip eval.
+
+        Videos are embarrassingly parallel at eval time (each propagates
+        independently); with the weights resident per chip,
+        ``preload(imgs, device=...)`` + ``forward_test`` dispatch each
+        video's whole pipeline onto that chip. The TPU-native replacement
+        for the reference's MMDataParallel scatter (apis/test.py:143) —
+        one process drives all local chips. See
+        ``single_process_test(devices=...)`` for the worker loop."""
+        self._variables_by_dev = {
+            d: jax.device_put(self.variables, d) for d in devices}
+        return list(self._variables_by_dev)
+
+    def _variables_for(self, arr):
+        """Pick the weight copy co-located with a committed array."""
+        by_dev = getattr(self, '_variables_by_dev', None)
+        if by_dev:
+            dev = getattr(arr, 'devices', lambda: set())()
+            if dev:
+                found = by_dev.get(next(iter(dev)))
+                if found is not None:
+                    return found
+        return self.variables
+
+    def preload(self, imgs: np.ndarray, device=None):
         """Pad T to the compile bucket and start the async host->device
         transfer. Returns an opaque handle accepted by ``forward_test`` —
         call from a prefetch thread to overlap the (slow) host link with
-        the previous video's compute."""
+        the previous video's compute. ``device`` pins the video to a
+        specific chip (multi-chip eval; see ``distribute``)."""
         batch_step = int(self.test_cfg.get('batch_step', 10))
         t_real = imgs.shape[0]
         t_pad = _round_up(max(t_real, 2), max(batch_step, 20))
@@ -162,7 +188,8 @@ class VanillaTracker:
         imgs_pad = np.concatenate(
             [imgs, np.zeros((t_pad - t_real,) + imgs.shape[1:],
                             imgs.dtype)], axis=0) if t_pad > t_real else imgs
-        return ('preloaded', jax.device_put(jnp.asarray(imgs_pad)), t_real)
+        return ('preloaded', jax.device_put(jnp.asarray(imgs_pad), device),
+                t_real)
 
     def forward_test(self, imgs, ref_seg_map: np.ndarray,
                      img_meta: List[Dict[str, Any]]):
@@ -185,8 +212,8 @@ class VanillaTracker:
                                             std=np.ones(3)))
             norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
             norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
-        feats = self._extract_feats(self.variables, imgs_dev, batch_step,
-                                    norm_mean, norm_std)
+        feats = self._extract_feats(self._variables_for(imgs_dev), imgs_dev,
+                                    batch_step, norm_mean, norm_std)
 
         original_shape = tuple(img_meta[0]['original_shape'][:2])
         input_onehot = ref_seg_map.ndim == 3  # (H, W, K) soft labels
