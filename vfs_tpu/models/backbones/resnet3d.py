@@ -36,6 +36,7 @@ class ConvBN3d(nn.Module):
     act: bool = True
     with_bn: bool = True
     bias: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
@@ -44,10 +45,11 @@ class ConvBN3d(nn.Module):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding=[(p, p) for p in pad],
                     kernel_dilation=self.dilation, use_bias=self.bias,
-                    name='conv')(x)
+                    dtype=self.dtype, name='conv')(x)
         if self.with_bn:
             x = nn.BatchNorm(use_running_average=use_running_average,
-                             momentum=0.9, epsilon=1e-5, name='bn')(x)
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             name='bn')(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -62,6 +64,7 @@ class BasicBlock3d(nn.Module):
     inflate: bool = True
     with_downsample: bool = False
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, ura: bool = True):
@@ -73,16 +76,16 @@ class BasicBlock3d(nn.Module):
                        (self.temporal_stride, self.spatial_stride,
                         self.spatial_stride), p1,
                        (1, self.dilation, self.dilation),
-                       name='conv1')(x, ura)
+                       dtype=self.dtype, name='conv1')(x, ura)
         k2 = (3, 3, 3) if self.inflate else (1, 3, 3)
         out = ConvBN3d(self.planes, k2, (1, 1, 1), None, (1, 1, 1),
-                       act=False, name='conv2')(out, ura)
+                       act=False, dtype=self.dtype, name='conv2')(out, ura)
         if self.with_downsample:
             identity = ConvBN3d(
                 self.planes * self.expansion, (1, 1, 1),
                 (self.temporal_stride, self.spatial_stride,
                  self.spatial_stride), (0, 0, 0), act=False,
-                name='downsample')(x, ura)
+                dtype=self.dtype, name='downsample')(x, ura)
         return nn.relu(out + identity)
 
 
@@ -96,6 +99,7 @@ class Bottleneck3d(nn.Module):
     inflate_style: str = '3x1x1'
     with_downsample: bool = False
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, ura: bool = True):
@@ -107,22 +111,23 @@ class Bottleneck3d(nn.Module):
                 k1, k2 = (1, 1, 1), (3, 3, 3)
         else:
             k1, k2 = (1, 1, 1), (1, 3, 3)
-        out = ConvBN3d(self.planes, k1, (1, 1, 1), None, name='conv1')(
-            x, ura)
+        out = ConvBN3d(self.planes, k1, (1, 1, 1), None,
+                       dtype=self.dtype, name='conv1')(x, ura)
         p2 = (k2[0] // 2, self.dilation, self.dilation)
         out = ConvBN3d(self.planes, k2,
                        (self.temporal_stride, self.spatial_stride,
                         self.spatial_stride), p2,
                        (1, self.dilation, self.dilation),
-                       name='conv2')(out, ura)
+                       dtype=self.dtype, name='conv2')(out, ura)
         out = ConvBN3d(self.planes * self.expansion, (1, 1, 1), (1, 1, 1),
-                       None, act=False, name='conv3')(out, ura)
+                       None, act=False, dtype=self.dtype,
+                       name='conv3')(out, ura)
         if self.with_downsample:
             identity = ConvBN3d(
                 self.planes * self.expansion, (1, 1, 1),
                 (self.temporal_stride, self.spatial_stride,
                  self.spatial_stride), (0, 0, 0), act=False,
-                name='downsample')(x, ura)
+                dtype=self.dtype, name='downsample')(x, ura)
         return nn.relu(out + identity)
 
 
@@ -164,6 +169,7 @@ class ResNet3d(nn.Module):
     zero_init_residual: bool = True
     out_indices: Sequence[int] = (3,)
     with_cp: bool = False
+    dtype: Any = jnp.float32
 
     @property
     def feat_dim(self):
@@ -181,7 +187,7 @@ class ResNet3d(nn.Module):
         pad1 = tuple(k // 2 for k in self.conv1_kernel)
         x = ConvBN3d(self.base_channels, tuple(self.conv1_kernel),
                      (self.conv1_stride_t, 2, 2), pad1,
-                     name='conv1')(x, ura)
+                     dtype=self.dtype, name='conv1')(x, ura)
         x = max_pool_3d(x, (1, 3, 3), (self.pool1_stride_t, 2, 2),
                         (0, 1, 1))
         outs = []
@@ -200,6 +206,7 @@ class ResNet3d(nn.Module):
                               dilation=self.dilations[i],
                               inflate=bool(stage_inflate[j]),
                               with_downsample=with_ds,
+                              dtype=self.dtype,
                               name=f'layer{i + 1}_{j}')
                 if block_cls is Bottleneck3d:
                     kwargs['inflate_style'] = self.inflate_style
@@ -229,6 +236,7 @@ class ResNet3dSlowOnly(nn.Module):
     with_pool2: bool = False
     out_indices: Sequence[int] = (3,)
     norm_eval: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -239,4 +247,4 @@ class ResNet3dSlowOnly(nn.Module):
             pool1_stride_t=self.pool1_stride_t, inflate=self.inflate,
             with_pool2=self.with_pool2, out_indices=self.out_indices,
             norm_eval=self.norm_eval, inflate_style='3x1x1',
-            name='resnet3d')(x, train=train)
+            dtype=self.dtype, name='resnet3d')(x, train=train)
