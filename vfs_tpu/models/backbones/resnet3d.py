@@ -182,12 +182,19 @@ class ResNet3d(nn.Module):
         block_cls, stage_blocks = ARCH_SETTINGS_3D[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
         inflates = _ntuple(self.inflate, self.num_stages)
-        ura = (not train) or self.norm_eval
+
+        # frozen stages run their BN in inference mode (2D ResNet
+        # semantics; reference resnet3d.py _freeze_stages)
+        def ura(stage_idx):
+            if (not train) or self.norm_eval:
+                return True
+            return stage_idx <= self.frozen_stages - 1 if stage_idx >= 0 \
+                else self.frozen_stages >= 0
 
         pad1 = tuple(k // 2 for k in self.conv1_kernel)
         x = ConvBN3d(self.base_channels, tuple(self.conv1_kernel),
                      (self.conv1_stride_t, 2, 2), pad1,
-                     dtype=self.dtype, name='conv1')(x, ura)
+                     dtype=self.dtype, name='conv1')(x, ura(-1))
         x = max_pool_3d(x, (1, 3, 3), (self.pool1_stride_t, 2, 2),
                         (0, 1, 1))
         outs = []
@@ -210,7 +217,13 @@ class ResNet3d(nn.Module):
                               name=f'layer{i + 1}_{j}')
                 if block_cls is Bottleneck3d:
                     kwargs['inflate_style'] = self.inflate_style
-                x = block_cls(**kwargs)(x, ura)
+                if self.with_cp:
+                    # activation rematerialization (reference with_cp:
+                    # torch.utils.checkpoint in every block)
+                    x = nn.remat(block_cls, static_argnums=(2,))(
+                        **kwargs)(x, ura(i))
+                else:
+                    x = block_cls(**kwargs)(x, ura(i))
             inplanes = planes * block_cls.expansion
             if i == 0 and self.with_pool2:
                 x = max_pool_3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
