@@ -56,6 +56,7 @@ class ConvBN(nn.Module):
     act: bool = True
     sync_axis: Optional[str] = None
     dtype: Any = jnp.float32
+    zero_init_scale: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
@@ -69,6 +70,8 @@ class ConvBN(nn.Module):
             use_running_average=use_running_average, momentum=0.9,
             epsilon=1e-5, axis_name=self.sync_axis
             if not use_running_average else None,
+            scale_init=nn.initializers.zeros if self.zero_init_scale
+            else nn.initializers.ones,
             dtype=self.dtype, name='bn')(x)
         if self.act:
             x = nn.relu(x)
@@ -83,6 +86,7 @@ class BasicBlock(nn.Module):
     with_downsample: bool = False
     sync_axis: Optional[str] = None
     dtype: Any = jnp.float32
+    zero_init_last: bool = False
     expansion: int = 1
 
     @nn.compact
@@ -95,6 +99,7 @@ class BasicBlock(nn.Module):
                      name='conv1')(x, use_running_average)
         out = ConvBN(self.planes, (3, 3), (1, 1), (1, 1), (1, 1), act=False,
                      sync_axis=self.sync_axis, dtype=self.dtype,
+                     zero_init_scale=self.zero_init_last,
                      name='conv2')(out, use_running_average)
         if self.with_downsample:
             identity = ConvBN(self.planes * self.expansion, (1, 1),
@@ -114,6 +119,7 @@ class Bottleneck(nn.Module):
     with_downsample: bool = False
     sync_axis: Optional[str] = None
     dtype: Any = jnp.float32
+    zero_init_last: bool = False
     expansion: int = 4
 
     @nn.compact
@@ -129,7 +135,8 @@ class Bottleneck(nn.Module):
                      name='conv2')(out, use_running_average)
         out = ConvBN(self.planes * self.expansion, (1, 1), (1, 1), (0, 0),
                      (1, 1), act=False, sync_axis=self.sync_axis,
-                     dtype=self.dtype, name='conv3')(out, use_running_average)
+                     dtype=self.dtype, zero_init_scale=self.zero_init_last,
+                     name='conv3')(out, use_running_average)
         if self.with_downsample:
             identity = ConvBN(self.planes * self.expansion, (1, 1),
                               (self.stride, self.stride), (0, 0), (1, 1),
@@ -236,18 +243,17 @@ class ResNet(nn.Module):
                     with_ds = False
                     blk_dil = dilation
                     blk_stride = 1
-                blk = block_cls(
+                blk_kwargs = dict(
                     planes=planes, stride=blk_stride, dilation=blk_dil,
                     with_downsample=with_ds, sync_axis=self.sync_axis,
-                    dtype=self.dtype, name=f'layer{i + 1}_{j}')
+                    dtype=self.dtype,
+                    zero_init_last=self.zero_init_residual,
+                    name=f'layer{i + 1}_{j}')
                 if self.with_cp:
-                    x = nn.remat(type(blk), static_argnums=(2,))(
-                        planes=planes, stride=blk_stride, dilation=blk_dil,
-                        with_downsample=with_ds, sync_axis=self.sync_axis,
-                        dtype=self.dtype,
-                        name=f'layer{i + 1}_{j}')(x, stage_ura)
+                    x = nn.remat(block_cls, static_argnums=(2,))(
+                        **blk_kwargs)(x, stage_ura)
                 else:
-                    x = blk(x, stage_ura)
+                    x = block_cls(**blk_kwargs)(x, stage_ura)
             inplanes = planes * block_cls.expansion
             if i in self.out_indices:
                 outs.append(x)
@@ -307,7 +313,9 @@ class ResNetBlockwise(nn.Module):
                 x = block_cls(
                     planes=planes, stride=blk_stride, dilation=blk_dil,
                     with_downsample=with_ds, sync_axis=self.sync_axis,
-                    dtype=self.dtype, name=f'layer{i + 1}_{j}')(x, True)
+                    dtype=self.dtype,
+                    zero_init_last=self.zero_init_residual,
+                    name=f'layer{i + 1}_{j}')(x, True)
                 if i in self.out_indices:
                     outs.append(x)
             inplanes = planes * block_cls.expansion

@@ -37,6 +37,7 @@ class ConvBN3d(nn.Module):
     with_bn: bool = True
     bias: bool = False
     dtype: Any = jnp.float32
+    zero_init_scale: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
@@ -49,7 +50,9 @@ class ConvBN3d(nn.Module):
         if self.with_bn:
             x = nn.BatchNorm(use_running_average=use_running_average,
                              momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                             name='bn')(x)
+                             scale_init=nn.initializers.zeros
+                             if self.zero_init_scale
+                             else nn.initializers.ones, name='bn')(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -65,6 +68,7 @@ class BasicBlock3d(nn.Module):
     with_downsample: bool = False
     expansion: int = 1
     dtype: Any = jnp.float32
+    zero_init_last: bool = False
 
     @nn.compact
     def __call__(self, x, ura: bool = True):
@@ -79,7 +83,9 @@ class BasicBlock3d(nn.Module):
                        dtype=self.dtype, name='conv1')(x, ura)
         k2 = (3, 3, 3) if self.inflate else (1, 3, 3)
         out = ConvBN3d(self.planes, k2, (1, 1, 1), None, (1, 1, 1),
-                       act=False, dtype=self.dtype, name='conv2')(out, ura)
+                       act=False, dtype=self.dtype,
+                       zero_init_scale=self.zero_init_last,
+                       name='conv2')(out, ura)
         if self.with_downsample:
             identity = ConvBN3d(
                 self.planes * self.expansion, (1, 1, 1),
@@ -100,6 +106,7 @@ class Bottleneck3d(nn.Module):
     with_downsample: bool = False
     expansion: int = 4
     dtype: Any = jnp.float32
+    zero_init_last: bool = False
 
     @nn.compact
     def __call__(self, x, ura: bool = True):
@@ -121,6 +128,7 @@ class Bottleneck3d(nn.Module):
                        dtype=self.dtype, name='conv2')(out, ura)
         out = ConvBN3d(self.planes * self.expansion, (1, 1, 1), (1, 1, 1),
                        None, act=False, dtype=self.dtype,
+                       zero_init_scale=self.zero_init_last,
                        name='conv3')(out, ura)
         if self.with_downsample:
             identity = ConvBN3d(
@@ -214,6 +222,7 @@ class ResNet3d(nn.Module):
                               inflate=bool(stage_inflate[j]),
                               with_downsample=with_ds,
                               dtype=self.dtype,
+                              zero_init_last=self.zero_init_residual,
                               name=f'layer{i + 1}_{j}')
                 if block_cls is Bottleneck3d:
                     kwargs['inflate_style'] = self.inflate_style

@@ -193,8 +193,13 @@ class ResNetTIN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         block2d, stage_blocks = ARCH_SETTINGS[self.depth]
-        block_cls = TINBasicBlock if block2d.expansion == 1 \
-            else TINBottleneck
+        # is_tin=False -> plain 2D blocks (reference gates the interlace
+        # module on it, resnet_tin.py:371)
+        if self.is_tin:
+            block_cls = TINBasicBlock if block2d.expansion == 1 \
+                else TINBottleneck
+        else:
+            block_cls = block2d
         ura = (not train) or self.norm_eval
         x = ConvBN(64, (7, 7), (2, 2), (3, 3), (1, 1), act=True,
                    name='conv1')(x, ura)
@@ -207,11 +212,13 @@ class ResNetTIN(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 with_ds = j == 0 and (
                     stride != 1 or inplanes != planes * block_cls.expansion)
-                x = block_cls(planes=planes, stride=stride,
+                kwargs = dict(planes=planes, stride=stride,
                               with_downsample=with_ds,
-                              num_segments=self.num_segments,
-                              shift_div=self.shift_div,
-                              name=f'layer{i + 1}_{j}')(x, ura)
+                              name=f'layer{i + 1}_{j}')
+                if self.is_tin:
+                    kwargs.update(num_segments=self.num_segments,
+                                  shift_div=self.shift_div)
+                x = block_cls(**kwargs)(x, ura)
             inplanes = planes * block_cls.expansion
             if i in self.out_indices:
                 outs.append(x)

@@ -98,8 +98,13 @@ class ResNetTSM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         block2d, stage_blocks = ARCH_SETTINGS[self.depth]
-        block_cls = TSMBasicBlock if block2d.expansion == 1 \
-            else TSMBottleneck
+        # is_shift=False -> plain 2D blocks (reference gates
+        # make_temporal_shift on it, resnet_tsm.py:289)
+        if self.is_shift:
+            block_cls = TSMBasicBlock if block2d.expansion == 1 \
+                else TSMBottleneck
+        else:
+            block_cls = block2d
         ura = (not train) or self.norm_eval
         x = ConvBN(64, (7, 7), (2, 2), (3, 3), (1, 1), act=True,
                    name='conv1')(x, ura)
@@ -112,11 +117,13 @@ class ResNetTSM(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 with_ds = j == 0 and (
                     stride != 1 or inplanes != planes * block_cls.expansion)
-                x = block_cls(planes=planes, stride=stride,
+                kwargs = dict(planes=planes, stride=stride,
                               with_downsample=with_ds,
-                              num_segments=self.num_segments,
-                              shift_div=self.shift_div,
-                              name=f'layer{i + 1}_{j}')(x, ura)
+                              name=f'layer{i + 1}_{j}')
+                if self.is_shift:
+                    kwargs.update(num_segments=self.num_segments,
+                                  shift_div=self.shift_div)
+                x = block_cls(**kwargs)(x, ura)
             inplanes = planes * block_cls.expansion
             if i in self.out_indices:
                 outs.append(x)
