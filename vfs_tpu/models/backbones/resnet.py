@@ -212,9 +212,13 @@ class ResNet(nn.Module):
         stage_blocks = stage_blocks[:self.num_stages]
 
         # a stage's BN runs in inference mode when frozen or norm_eval
-        # (reference: _freeze_stages resnet.py:593-609, norm_eval :645-654)
+        # (reference: _freeze_stages resnet.py:593-609, norm_eval :645-654);
+        # partial_bn keeps only the stem's BN training (reference
+        # _partial_bn :611-623, the TSN finetuning recipe)
         def ura(stage_idx):  # use_running_average for BN in this stage
             if not train or self.norm_eval:
+                return True
+            if self.partial_bn and stage_idx >= 0:
                 return True
             return stage_idx <= self.frozen_stages - 1 if stage_idx >= 0 \
                 else self.frozen_stages >= 0
