@@ -1,5 +1,11 @@
 """ctypes bridge to the native C++ frame loader.
 
+TPU-native equivalent of the reference's decord dependency (SURVEY
+§2.9: C++/FFmpeg decode feeding the device via async prefetch);
+consumed by RawFrameDecode(decoding_backend='native')
+(reference mmaction/datasets/pipelines/loading.py:801-880 uses decord
+for the same role).
+
 Builds ``vfs_tpu/native/libframe_loader.so`` on first use (g++ + libjpeg,
 both baked into the image) and exposes ``decode_jpeg_batch`` — a
 GIL-free threaded JPEG decode+resize into one contiguous uint8 RGB batch.

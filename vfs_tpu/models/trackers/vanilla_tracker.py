@@ -263,6 +263,12 @@ class VanillaTracker:
             default_backend = ('pallas'
                                if jax.default_backend() == 'tpu'
                                else 'tiled')
+            # wide circle masks (r50's neighbor_range=36) amortize the
+            # halo better with a wider tile: measured 41.3 vs 45.8
+            # ms/frame at radius 18; identical (bit-exact) at radius 12
+            pallas_tile = (8, 16) if (use_local
+                                      and neighbor_range // 2 >= 16) \
+                else (8, 8)
             cfg = PropagationConfig(
                 precede_frames=int(test_cfg.get('precede_frames', 20)),
                 topk=int(test_cfg.get('topk', 10)),
@@ -272,7 +278,8 @@ class VanillaTracker:
                 with_norm=with_norm,
                 neighbor_range=int(neighbor_range)
                 if use_local else None,
-                backend=test_cfg.get('backend', default_backend))
+                backend=test_cfg.get('backend', default_backend),
+                pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)))
 
             seg_preds, seg_logits = self._propagate_decode(
                 feats=feat, seg_first=jnp.asarray(seg_first),
