@@ -44,7 +44,9 @@ def main():
     cfg = Config.fromfile(args.config)
     pgm_cfg = cfg.temporal_proposal_generation \
         if 'temporal_proposal_generation' in cfg else cfg.pgm_proposals_cfg
-    feat_cfg = cfg.get('pgm_features_cfg', {})
+    # *_thread keys size the reference's worker pools, not the math
+    feat_cfg = {k: v for k, v in dict(cfg.get('pgm_features_cfg', {})).items()
+                if not k.endswith('_thread')}
     ann_file = cfg.data[args.mode].ann_file
     with open(ann_file) as f:
         anno = json.load(f)
@@ -71,6 +73,8 @@ def main():
         j.start()
     for j in jobs:
         j.join()
+    if any(j.exitcode != 0 for j in jobs):
+        sys.exit('proposal-generation worker failed (see traceback above)')
     dump_results(dict(result_dict), cfg.pgm_proposals_dir,
                  'tmin,tmax,tmin_score,tmax_score,score,match_iou,'
                  'match_ioa')
@@ -87,6 +91,8 @@ def main():
         j.start()
     for j in jobs:
         j.join()
+    if any(j.exitcode != 0 for j in jobs):
+        sys.exit('BSP-feature worker failed (see traceback above)')
     os.makedirs(cfg.pgm_features_dir, exist_ok=True)
     for video_name, feature in dict(result_dict).items():
         np.save(osp.join(cfg.pgm_features_dir, video_name + '.npy'),
