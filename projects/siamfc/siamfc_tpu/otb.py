@@ -73,9 +73,35 @@ class ExperimentOTB:
             and osp.isfile(osp.join(d, 'groundtruth_rect.txt')))
         self.seq_names = [osp.basename(d) for d in self.seq_dirs]
 
-    def run(self, tracker, visualize=False) -> Dict[str, np.ndarray]:
+    def run(self, tracker, visualize=False,
+            devices=None) -> Dict[str, np.ndarray]:
+        """Track every sequence. ``devices``: round-robin sequences over
+        local chips, one weight-sharing tracker clone + worker thread per
+        chip (sequences are independent)."""
         os.makedirs(self.result_dir, exist_ok=True)
         all_boxes = {}
+        if devices is not None and len(devices) > 1 \
+                and hasattr(tracker, 'clone'):
+            import concurrent.futures
+
+            def worker(t_idx):
+                trk = tracker.clone(devices[t_idx])
+                for i in range(t_idx, len(self.seq_dirs), len(devices)):
+                    seq_dir = self.seq_dirs[i]
+                    name = self.seq_names[i]
+                    img_files, anno = _load_otb_seq(seq_dir)
+                    boxes, times = trk.track(img_files, anno[0])
+                    all_boxes[name] = (boxes, times)
+                    np.savetxt(osp.join(self.result_dir, f'{name}.txt'),
+                               boxes, fmt='%.3f', delimiter=',')
+
+            with concurrent.futures.ThreadPoolExecutor(
+                    len(devices)) as pool:
+                futures = [pool.submit(worker, t)
+                           for t in range(len(devices))]
+                for f in futures:
+                    f.result()
+            return all_boxes
         for seq_dir, name in zip(self.seq_dirs, self.seq_names):
             img_files, anno = _load_otb_seq(seq_dir)
             boxes, times = tracker.track(img_files, anno[0],

@@ -74,6 +74,19 @@ class TrackerSiamFC:
         self.opt_state = None
         self._tx = None
 
+    def clone(self, device=None):
+        """Weight-sharing copy with independent per-sequence tracking
+        state, optionally pinned to a chip — one clone per device drives
+        parallel OTB sequences (the TPU-native take on the reference's
+        torch.nn.DataParallel in SiamFC, siamfc_tracker_base.py:393)."""
+        t = TrackerSiamFC(self.cfg, logger=self.logger)
+        t.net = self.net
+        t.backbone = self.backbone
+        t.head = self.head
+        t.variables = jax.device_put(self.variables, device) \
+            if device is not None else self.variables
+        return t
+
     # -- weights -----------------------------------------------------------
     def init_weights(self, pretrained: Optional[str] = None):
         z = jnp.zeros((1, self.cfg['exemplar_sz'], self.cfg['exemplar_sz'],

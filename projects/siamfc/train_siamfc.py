@@ -30,6 +30,9 @@ def parse_args():
                         help='OTB dataset root')
     parser.add_argument('--work-dir', default='./work_dirs/siamfc')
     parser.add_argument('--options', nargs='+', default=None)
+    parser.add_argument('--local-devices', default='1',
+                        help="track OTB sequences over N local chips "
+                             "('all' = every local device)")
     return parser.parse_args()
 
 
@@ -74,7 +77,11 @@ def main():
             result_dir=os.path.join(args.work_dir, 'results'),
             report_dir=os.path.join(args.work_dir, 'reports'))
         logger.info(f'running OTB OPE on {len(exp.seq_names)} sequences')
-        boxes = exp.run(tracker)
+        import jax
+        ndev = len(jax.local_devices()) if args.local_devices == 'all' \
+            else int(args.local_devices)
+        devs = jax.local_devices()[:ndev] if ndev > 1 else None
+        boxes = exp.run(tracker, devices=devs)
         report = exp.report(boxes)
         logger.info(
             f"Results copypaste  {report['precision_score']*100:.1f}"
