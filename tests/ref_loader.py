@@ -1,0 +1,212 @@
+"""Load the UNMODIFIED upstream reference modules (/root/reference, the
+PyTorch VFS implementation) for differential parity testing, supplying a
+minimal mmcv shim for the handful of symbols the hot-path files import.
+
+The shim implements only glue (ConvModule = Conv2d+BN+ReLU in mmcv's
+default conv->norm->act order, checkpoint loading via torch.load, inits);
+all semantics under test come from the reference's own .py files, executed
+as-is. If the reference tree is absent the loader raises ImportError and
+dependent tests skip.
+"""
+
+import importlib.util
+import logging
+import os
+import sys
+import types
+
+REF_ROOT = '/root/reference'
+
+
+def _build_mmcv_stub():
+    import cv2
+    import numpy as np
+    import torch
+    import torch.nn as nn
+    from torch.nn.modules.batchnorm import _BatchNorm
+
+    mmcv = types.ModuleType('mmcv')
+    mmcv_cnn = types.ModuleType('mmcv.cnn')
+    mmcv_runner = types.ModuleType('mmcv.runner')
+    mmcv_utils = types.ModuleType('mmcv.utils')
+
+    class ConvModule(nn.Module):
+        """conv -> norm -> act, bias='auto' => no bias when normed
+        (mmcv.cnn.ConvModule default behavior, order ('conv','norm','act'))."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, bias='auto',
+                     conv_cfg=None, norm_cfg=None, act_cfg='default',
+                     **kwargs):
+            super().__init__()
+            self.with_norm = norm_cfg is not None
+            if bias == 'auto':
+                bias = not self.with_norm
+            self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                                  stride, padding, dilation, groups,
+                                  bias=bias)
+            if self.with_norm:
+                # BN/BN2d/SyncBN all behave as BatchNorm2d single-process
+                self.bn = nn.BatchNorm2d(out_channels)
+            if act_cfg == 'default':
+                act_cfg = dict(type='ReLU')
+            self.with_act = act_cfg is not None
+            if self.with_act:
+                assert act_cfg.get('type', 'ReLU') == 'ReLU', act_cfg
+                self.activate = nn.ReLU(inplace=True)
+
+        @property
+        def norm(self):
+            return self.bn
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.with_norm:
+                x = self.bn(x)
+            if self.with_act:
+                x = self.activate(x)
+            return x
+
+    def kaiming_init(module, a=0, mode='fan_out', nonlinearity='relu',
+                     bias=0, distribution='normal'):
+        if distribution == 'normal':
+            nn.init.kaiming_normal_(module.weight, a=a, mode=mode,
+                                    nonlinearity=nonlinearity)
+        else:
+            nn.init.kaiming_uniform_(module.weight, a=a, mode=mode,
+                                     nonlinearity=nonlinearity)
+        if getattr(module, 'bias', None) is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def constant_init(module, val, bias=0):
+        if getattr(module, 'weight', None) is not None:
+            nn.init.constant_(module.weight, val)
+        if getattr(module, 'bias', None) is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def _load_checkpoint(filename, map_location='cpu'):
+        return torch.load(filename, map_location=map_location,
+                          weights_only=False)
+
+    def load_checkpoint(model, filename, strict=False, logger=None,
+                        map_location='cpu'):
+        sd = _load_checkpoint(filename, map_location)
+        if 'state_dict' in sd:
+            sd = sd['state_dict']
+        model.load_state_dict(sd, strict=strict)
+        return sd
+
+    def imresize(img, size, interpolation='bilinear', backend=None):
+        if backend == 'pillow':
+            from PIL import Image
+            modes = {'nearest': Image.NEAREST, 'bilinear': Image.BILINEAR,
+                     'bicubic': Image.BICUBIC}
+            pil = Image.fromarray(img)
+            return np.array(pil.resize(size, modes[interpolation]))
+        inters = {'nearest': cv2.INTER_NEAREST,
+                  'bilinear': cv2.INTER_LINEAR,
+                  'bicubic': cv2.INTER_CUBIC}
+        return cv2.resize(img, size, interpolation=inters[interpolation])
+
+    mmcv_cnn.ConvModule = ConvModule
+    mmcv_cnn.kaiming_init = kaiming_init
+    mmcv_cnn.constant_init = constant_init
+    mmcv_cnn.normal_init = lambda m, mean=0, std=1, bias=0: None
+    mmcv_runner._load_checkpoint = _load_checkpoint
+    mmcv_runner.load_checkpoint = load_checkpoint
+    mmcv_utils._BatchNorm = _BatchNorm
+    mmcv.imresize = imresize
+    mmcv.cnn = mmcv_cnn
+    mmcv.runner = mmcv_runner
+    mmcv.utils = mmcv_utils
+    return {'mmcv': mmcv, 'mmcv.cnn': mmcv_cnn, 'mmcv.runner': mmcv_runner,
+            'mmcv.utils': mmcv_utils}
+
+
+def _exec_ref_module(fullname, relpath):
+    path = os.path.join(REF_ROOT, relpath)
+    spec = importlib.util.spec_from_file_location(fullname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_cache = {}
+
+
+def load_reference():
+    """Returns a namespace with the reference hot-path modules:
+    ``.common_utils``, ``.local_attention``, ``.affinity_utils``,
+    ``.resnet`` — all executed verbatim from /root/reference.
+    """
+    if 'ns' in _cache:
+        return _cache['ns']
+    if not os.path.isdir(REF_ROOT):
+        raise ImportError(f'reference tree not found at {REF_ROOT}')
+
+    stubs = _build_mmcv_stub()
+    saved = {k: sys.modules.get(k) for k in list(stubs) + [
+        'refmm', 'refmm.utils', 'refmm.models', 'refmm.models.registry',
+        'refmm.models.common', 'refmm.models.common.utils',
+        'refmm.models.common.local_attention',
+        'refmm.models.common.affinity_utils',
+        'refmm.models.backbones', 'refmm.models.backbones.resnet']}
+    sys.modules.update(stubs)
+
+    # synthetic package skeleton so the reference's relative imports
+    # (from ...utils import get_root_logger / from ..registry import
+    # BACKBONES / from ..common import change_stride) resolve
+    refmm = types.ModuleType('refmm')
+    refmm.__path__ = []
+    ref_utils = types.ModuleType('refmm.utils')
+    ref_utils.get_root_logger = lambda *a, **k: logging.getLogger('refmm')
+    models = types.ModuleType('refmm.models')
+    models.__path__ = []
+    registry = types.ModuleType('refmm.models.registry')
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    registry.BACKBONES = _Registry()
+    registry.TRACKERS = _Registry()
+    common_pkg = types.ModuleType('refmm.models.common')
+    common_pkg.__path__ = []
+    backbones_pkg = types.ModuleType('refmm.models.backbones')
+    backbones_pkg.__path__ = []
+    sys.modules.update({
+        'refmm': refmm, 'refmm.utils': ref_utils, 'refmm.models': models,
+        'refmm.models.registry': registry,
+        'refmm.models.common': common_pkg,
+        'refmm.models.backbones': backbones_pkg,
+    })
+
+    common_utils = _exec_ref_module('refmm.models.common.utils',
+                                    'mmaction/models/common/utils.py')
+    # `from ..common import change_stride` resolves against the package
+    # module, so mirror the real package __init__ exports we need
+    for name in ('change_stride', 'pil_nearest_interpolate', 'video2images',
+                 'images2video', 'cat', 'StrideContext'):
+        if hasattr(common_utils, name):
+            setattr(common_pkg, name, getattr(common_utils, name))
+    local_attention = _exec_ref_module(
+        'refmm.models.common.local_attention',
+        'mmaction/models/common/local_attention.py')
+    affinity_utils = _exec_ref_module(
+        'refmm.models.common.affinity_utils',
+        'mmaction/models/common/affinity_utils.py')
+    resnet = _exec_ref_module('refmm.models.backbones.resnet',
+                              'mmaction/models/backbones/resnet.py')
+
+    ns = types.SimpleNamespace(
+        common_utils=common_utils, local_attention=local_attention,
+        affinity_utils=affinity_utils, resnet=resnet,
+        ConvModule=stubs['mmcv.cnn'].ConvModule)
+    _cache['ns'] = ns
+    # leave the synthetic modules installed (they are uniquely named except
+    # mmcv, which isn't otherwise importable in this env)
+    for k, v in saved.items():
+        if v is not None:
+            sys.modules[k] = v
+    return ns

@@ -1,0 +1,265 @@
+"""Differential parity: vfs_tpu vs the ACTUAL reference implementation.
+
+Unlike tests/test_ops/test_attention.py (which checks against an in-repo
+torch re-statement of the published algorithm), these tests execute the
+reference's own source files from /root/reference via tests/ref_loader.py
+and assert numeric agreement end-to-end:
+
+- spatial_neighbor masks        (reference affinity_utils.py:119-156)
+- masked_attention_efficient    (reference local_attention.py:237-348)
+- compute_affinity / propagate  (reference affinity_utils.py:6-73)
+- video2images / images2video   (reference common/utils.py:45-65)
+- ResNet-18/50 per-stage activations, loaded from the same fabricated
+  torchvision .pth through BOTH loaders: the reference's
+  _load_torchvision_checkpoint (resnet.py:437-523) and vfs_tpu's
+  checkpoint bridge — the strongest available substitute for running the
+  released checkpoints (VERDICT.md weak#2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vfs_tpu import ops as jops
+from vfs_tpu.checkpoint import torchvision_to_flax_resnet
+from vfs_tpu.models.backbones import ResNet
+
+try:
+    from ref_loader import load_reference
+    REF = load_reference()
+except ImportError:  # reference tree not present
+    REF = None
+
+pytestmark = pytest.mark.skipif(REF is None,
+                                reason='/root/reference not available')
+
+
+def _rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------- masks ---
+@pytest.mark.parametrize('mode,rng', [('circle', 24), ('circle', 36),
+                                      ('circle', 5), ('square', 9)])
+def test_spatial_neighbor_parity(mode, rng):
+    h, w = 30, 54
+    ref = REF.affinity_utils.spatial_neighbor(
+        1, h, w, rng, device='cpu', dtype=torch.float32, mode=mode)
+    ours = np.asarray(jops.spatial_neighbor(h, w, rng, mode=mode))
+    ref_np = ref.numpy().reshape(h * w, h * w) if ref.ndim == 2 \
+        else ref.numpy()[0]
+    np.testing.assert_array_equal(ours, ref_np)
+
+
+# ------------------------------------------------------------ attention ---
+# NOTE on batching: the reference's topk gather (local_attention.py:318-322)
+# flattens values to (C, N*THW) but indexes with per-batch topk indices in
+# [0, THW), so for N>1 every batch gathers batch-0's values — a latent
+# reference bug that never fires in practice (eval runs N=1). Parity is
+# therefore asserted against the reference run PER-SAMPLE, which also pins
+# that our batched path is per-sample independent.
+@pytest.mark.parametrize('topk,non_mask_len,mode,masked', [
+    (10, 0, 'softmax', True),
+    (10, 1, 'softmax', True),
+    (None, 0, 'softmax', True),
+    (10, 0, 'cosine', True),
+    (10, 0, 'softmax', False),
+])
+def test_masked_attention_efficient_parity(topk, non_mask_len, mode, masked):
+    n, c, t, h, w, cv = 2, 32, 4, 12, 16, 7
+    q = _rand(n, c, h, w, seed=1)
+    k = _rand(n, c, t, h, w, seed=2)
+    v = _rand(n, cv, t, h, w, seed=3)
+    if masked:
+        tmask = REF.affinity_utils.spatial_neighbor(
+            1, h, w, 8, device='cpu', dtype=torch.float32, mode='circle')
+        jmask = jnp.asarray(tmask.numpy())
+    else:
+        tmask = jmask = None
+
+    ref = np.concatenate([
+        REF.local_attention.masked_attention_efficient(
+            torch.from_numpy(q[i:i + 1]), torch.from_numpy(k[i:i + 1]),
+            torch.from_numpy(v[i:i + 1]), tmask, temperature=0.07,
+            topk=topk, normalize=True, step=50,
+            non_mask_len=non_mask_len, mode=mode).numpy()
+        for i in range(n)])
+
+    out = jops.masked_attention_efficient(
+        jnp.asarray(q.transpose(0, 2, 3, 1)),
+        jnp.asarray(k.transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(v.transpose(0, 2, 3, 4, 1)),
+        jmask, temperature=0.07, topk=topk, normalize=True, step=50,
+        non_mask_len=non_mask_len, mode=mode)
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_reference_topk_gather_cross_batch_quirk_documented():
+    """Pin the reference's N>1 topk cross-batch gather quirk so parity
+    deviations there are understood, not silent: reference batched output
+    for sample 1 differs from its own per-sample output, while batch 0
+    agrees."""
+    n, c, t, h, w, cv = 2, 16, 2, 8, 8, 3
+    q, k, v = _rand(n, c, h, w, seed=20), _rand(n, c, t, h, w, seed=21), \
+        _rand(n, cv, t, h, w, seed=22)
+    args = dict(temperature=0.07, topk=5, normalize=True, step=None)
+    batched = REF.local_attention.masked_attention_efficient(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        None, **args).numpy()
+    single = [REF.local_attention.masked_attention_efficient(
+        torch.from_numpy(q[i:i + 1]), torch.from_numpy(k[i:i + 1]),
+        torch.from_numpy(v[i:i + 1]), None, **args).numpy()[0]
+        for i in range(n)]
+    np.testing.assert_allclose(batched[0], single[0], rtol=1e-5, atol=1e-5)
+    assert np.abs(batched[1] - single[1]).max() > 1e-2
+
+
+def test_masked_attention_single_frame_key_parity():
+    # 4-D key/value path (key.ndim == 4 branch, local_attention.py:268)
+    n, c, h, w, cv = 1, 16, 8, 8, 3
+    q, k, v = _rand(n, c, h, w, seed=4), _rand(n, c, h, w, seed=5), \
+        _rand(n, cv, h, w, seed=6)
+    ref = REF.local_attention.masked_attention_efficient(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        None, temperature=1.0, topk=5, step=None).numpy()
+    out = jops.masked_attention_efficient(
+        jnp.asarray(q.transpose(0, 2, 3, 1)),
+        jnp.asarray(k.transpose(0, 2, 3, 1))[:, None],
+        jnp.asarray(v.transpose(0, 2, 3, 1))[:, None],
+        None, temperature=1.0, topk=5, step=None)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------- affinity/propagate ---
+def test_compute_affinity_propagate_parity():
+    n, c, h, w = 2, 24, 10, 14
+    src, dst = _rand(n, c, h, w, seed=7), _rand(n, c, h, w, seed=8)
+    img = np.abs(_rand(n, 5, h, w, seed=9))
+
+    taff = REF.affinity_utils.compute_affinity(
+        torch.from_numpy(src), torch.from_numpy(dst), temperature=0.5,
+        normalize=True, softmax_dim=1)
+    # reference propagate mutates affinity in-place — pass a clone
+    tout = REF.affinity_utils.propagate(
+        torch.from_numpy(img), taff.clone(), topk=5)
+
+    jaff = jops.compute_affinity(
+        jnp.asarray(src.transpose(0, 2, 3, 1)),
+        jnp.asarray(dst.transpose(0, 2, 3, 1)), temperature=0.5,
+        normalize=True, softmax_axis=1)
+    np.testing.assert_allclose(np.asarray(jaff), taff.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    jout = jops.propagate(jnp.asarray(img.transpose(0, 2, 3, 1)), jaff,
+                          topk=5)
+    np.testing.assert_allclose(
+        np.asarray(jout).transpose(0, 3, 1, 2), tout.numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------- clip reshaping ---
+def test_video2images_images2video_parity():
+    from vfs_tpu.models.common.utils import images2video, video2images
+    x = _rand(2, 3, 4, 6, 5, seed=10)  # N, C, T, H, W
+    ref = REF.common_utils.video2images(torch.from_numpy(x)).numpy()
+    ours = video2images(jnp.asarray(x.transpose(0, 2, 3, 4, 1)))  # NTHWC
+    np.testing.assert_array_equal(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref)
+    back = REF.common_utils.images2video(torch.from_numpy(ref), 4).numpy()
+    ours_back = images2video(ours, 4)
+    np.testing.assert_array_equal(
+        np.asarray(ours_back).transpose(0, 4, 1, 2, 3), back)
+
+
+# ----------------------------------------------------------- ResNet -------
+def _fabricated_tv_state_dict(depth, seed=0):
+    """A torchvision-layout state dict with random weights + realistic BN
+    stats, built via torchvision-style module naming."""
+    from test_models.test_resnet import (TorchBasicBlock, TorchBottleneck,
+                                         TorchResNet, _randomize_bn_stats)
+    block, layers = ((TorchBasicBlock, (2, 2, 2, 2)) if depth == 18 else
+                     (TorchBottleneck, (3, 4, 6, 3)))
+    torch.manual_seed(seed)
+    m = TorchResNet(block, layers)
+    _randomize_bn_stats(m, seed=seed)
+    return m.state_dict()
+
+
+@pytest.mark.parametrize('depth,strides,out_indices', [
+    (18, (1, 2, 2, 2), (0, 1, 2, 3)),
+    (18, (1, 2, 1, 1), (2,)),      # DAVIS eval config
+    (50, (1, 2, 1, 1), (2, 3)),
+])
+def test_resnet_activation_parity_vs_reference(depth, strides, out_indices,
+                                               tmp_path):
+    sd = _fabricated_tv_state_dict(depth)
+    pth = tmp_path / f'r{depth}.pth'
+    torch.save(sd, pth)
+
+    # reference side: its OWN ConvModule-name remapping loader
+    ref_model = REF.resnet.ResNet(
+        depth=depth, pretrained=str(pth), torchvision_pretrain=True,
+        strides=strides, out_indices=out_indices)
+    ref_model.init_weights()
+    ref_model.eval()
+    x = _rand(2, 3, 64, 64, seed=11)
+    with torch.no_grad():
+        ref_outs = ref_model(torch.from_numpy(x))
+    if not isinstance(ref_outs, tuple):
+        ref_outs = (ref_outs,)
+
+    # vfs_tpu side: checkpoint bridge from the same .pth
+    params, stats = torchvision_to_flax_resnet(
+        {k: v.numpy() for k, v in sd.items()})
+    model = ResNet(depth=depth, strides=strides, out_indices=out_indices)
+    outs = model.apply({'params': params, 'batch_stats': stats},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    if not isinstance(outs, tuple):
+        outs = (outs,)
+    assert len(outs) == len(ref_outs)
+    for o, r in zip(outs, ref_outs):
+        np.testing.assert_allclose(
+            np.asarray(o).transpose(0, 3, 1, 2), r.numpy(),
+            rtol=1e-3, atol=1e-3)
+
+
+def test_resnet_switch_strides_matches_constructor():
+    """The reference's runtime switch_strides((1,2,1,1)) must equal our
+    static eval-stride construction (resnet.py:624-637 vs our static arg)."""
+    sd = _fabricated_tv_state_dict(18)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix='.pth') as f:
+        torch.save(sd, f.name)
+        ref_model = REF.resnet.ResNet(
+            depth=18, pretrained=f.name, torchvision_pretrain=True,
+            strides=(1, 2, 2, 2), out_indices=(2,))
+        ref_model.init_weights()
+    ref_model.switch_strides((1, 2, 1, 1))
+    ref_model.eval()
+    x = _rand(1, 3, 64, 64, seed=12)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x))
+
+    params, stats = torchvision_to_flax_resnet(
+        {k: v.numpy() for k, v in sd.items()})
+    model = ResNet(depth=18, strides=(1, 2, 1, 1), out_indices=(2,))
+    out = model.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(),
+        rtol=1e-3, atol=1e-3)
+
+
+def test_pil_nearest_interpolate_parity():
+    """Seg-map downsample protocol (reference common/utils.py:25-42):
+    PIL-nearest resize — a known J&F parity trap (SURVEY §7)."""
+    from vfs_tpu.ops.resize import pil_nearest_resize
+    seg = (np.random.RandomState(13).rand(2, 1, 37, 53) * 5).astype(
+        np.float32)
+    ref = REF.common_utils.pil_nearest_interpolate(
+        torch.from_numpy(seg), size=(10, 14)).numpy()
+    for i in range(seg.shape[0]):
+        ours = pil_nearest_resize(seg[i, 0], (10, 14))
+        np.testing.assert_array_equal(ours, ref[i, 0])
