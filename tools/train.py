@@ -101,7 +101,13 @@ def main():
     dataset = build_dataset(cfg.data.train)
     logger.info(f'Start training: {len(dataset)} samples, '
                 f'{cfg.total_epochs} epochs')
-    train_model(model, dataset, cfg, validate=args.validate, logger=logger)
+    from vfs_tpu.apis.train_localizer import (LOCALIZER_TYPES,
+                                              train_localizer_model)
+    if cfg.model.get('type') in LOCALIZER_TYPES:
+        train_localizer_model(model, dataset, cfg, logger=logger)
+    else:
+        train_model(model, dataset, cfg, validate=args.validate,
+                    logger=logger)
 
 
 if __name__ == '__main__':

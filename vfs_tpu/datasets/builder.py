@@ -82,7 +82,12 @@ class DataLoader:
         for key in samples[0]:
             vals = [s[key] for s in samples]
             if isinstance(vals[0], np.ndarray):
-                batch[key] = np.stack(vals)
+                # ragged per-sample arrays (e.g. gt_bbox with a variable
+                # number of segments) stay a list for host-side consumers
+                if len({v.shape for v in vals}) == 1:
+                    batch[key] = np.stack(vals)
+                else:
+                    batch[key] = vals
             elif isinstance(vals[0], (int, float, np.integer, np.floating)):
                 batch[key] = np.asarray(vals)
             else:

@@ -6,13 +6,17 @@ from .augmentations import (CenterCrop, ColorJitter, Flip, MultiScaleCrop,
 from .compose import Compose
 from .formating import Collect, FormatShape, ToTensor, Transpose
 from .loading import (Clip2Frame, DecordDecode, DecordInit, DuplicateFrames,
-                      Frame2Clip, OpenCVDecode, OpenCVInit, RawFrameDecode,
-                      SampleFrames, SequentialSampleFrames)
+                      Frame2Clip, GenerateLocalizationLabels,
+                      LoadLocalizationFeature, LoadProposals, OpenCVDecode,
+                      OpenCVInit, RawFrameDecode, SampleFrames,
+                      SampleProposalFrames, SequentialSampleFrames)
 
 __all__ = [
     'CenterCrop', 'ColorJitter', 'Flip', 'MultiScaleCrop', 'Normalize', 'PhotoMetricDistortion', 'RandomCrop', 'RandomErasing', 'RGB2LAB', 'TenCrop', 'ThreeCrop', 'RandomGaussianBlur',
     'RandomGrayScale', 'RandomResizedCrop', 'Resize', 'Compose', 'Collect',
     'FormatShape', 'ToTensor', 'Transpose', 'Clip2Frame', 'DecordDecode',
     'DecordInit', 'DuplicateFrames', 'Frame2Clip', 'OpenCVDecode',
-    'OpenCVInit', 'RawFrameDecode', 'SampleFrames', 'SequentialSampleFrames'
+    'OpenCVInit', 'RawFrameDecode', 'SampleFrames', 'SequentialSampleFrames',
+    'GenerateLocalizationLabels', 'LoadLocalizationFeature', 'LoadProposals',
+    'SampleProposalFrames'
 ]

@@ -118,10 +118,6 @@ class SSNLoss:
         loss_weight = train_cfg['ssn']['loss_weight']
         proposal_type = proposal_type.reshape(-1)
         labels = labels.reshape(-1)
-        activity_indexer = jnp.nonzero(
-            (proposal_type == 0) | (proposal_type == 2))[0]
-        completeness_indexer = jnp.nonzero(
-            (proposal_type == 0) | (proposal_type == 1))[0]
         total_ratio = (sampler['positive_ratio'] +
                        sampler['background_ratio'] +
                        sampler['incomplete_ratio'])
@@ -132,6 +128,17 @@ class SSNLoss:
             (sampler['background_ratio'] / total_ratio))
         incomplete_per_video = (sampler['num_per_video'] -
                                 positive_per_video - background_per_video)
+        # the SSN sampler emits a fixed per-video layout (positives,
+        # incompletes, backgrounds — ssn_dataset.py:_video_centric_sampling)
+        # so the indexer sizes are static and the loss stays jittable
+        num_videos = proposal_type.shape[0] // sampler['num_per_video']
+        activity_indexer = jnp.nonzero(
+            (proposal_type == 0) | (proposal_type == 2),
+            size=num_videos * (positive_per_video + background_per_video))[0]
+        completeness_indexer = jnp.nonzero(
+            (proposal_type == 0) | (proposal_type == 1),
+            size=num_videos * (positive_per_video +
+                               incomplete_per_video))[0]
         losses = {}
         losses['loss_activity'] = self.activity_loss(
             activity_score, labels, activity_indexer)
@@ -141,7 +148,8 @@ class SSNLoss:
             ohem_ratio=positive_per_video / incomplete_per_video) * \
             loss_weight['comp_loss_weight']
         if bbox_pred is not None:
-            regression_indexer = jnp.nonzero(proposal_type == 0)[0]
+            regression_indexer = jnp.nonzero(
+                proposal_type == 0, size=num_videos * positive_per_video)[0]
             bbox_targets = bbox_targets.reshape(-1, 2)
             losses['loss_reg'] = self.classwise_regression_loss(
                 bbox_pred, labels, bbox_targets, regression_indexer) * \
