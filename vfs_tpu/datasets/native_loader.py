@@ -108,3 +108,105 @@ def decode_jpeg_batch(paths: List[str],
     if ok != n:
         return None
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native FFmpeg video decode (the decord-equivalent .mp4 path; reference
+# mmaction/datasets/pipelines/loading.py:801-880)
+# ---------------------------------------------------------------------------
+
+_VSRC = osp.join(_NATIVE_DIR, 'video_decoder.cpp')
+_VSO = osp.join(_NATIVE_DIR, 'libvideo_decoder.so')
+
+_vlib = None
+_vlib_lock = threading.Lock()
+
+
+def _build_video() -> bool:
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _VSRC,
+           '-lavformat', '-lavcodec', '-lavutil', '-lswscale',
+           '-o', _VSO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def get_video_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the FFmpeg decoder; None if unavailable."""
+    global _vlib
+    with _vlib_lock:
+        if _vlib is not None:
+            return _vlib if _vlib is not False else None
+        if not osp.isfile(_VSO) or (osp.isfile(_VSRC) and
+                                    os.path.getmtime(_VSRC) >
+                                    os.path.getmtime(_VSO)):
+            if not _build_video():
+                _vlib = False
+                return None
+        try:
+            lib = ctypes.CDLL(_VSO)
+        except OSError:
+            _vlib = False
+            return None
+        lib.vd_probe.restype = ctypes.c_int
+        lib.vd_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.vd_decode_indices.restype = ctypes.c_int
+        lib.vd_decode_indices.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+        _vlib = lib
+        return lib
+
+
+def probe_video(path: str) -> Optional[Tuple[int, int, int, float]]:
+    """Returns (num_frames, height, width, fps) or None."""
+    lib = get_video_lib()
+    if lib is None:
+        return None
+    nf = ctypes.c_int64()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    fps = ctypes.c_double()
+    rc = lib.vd_probe(path.encode(), ctypes.byref(nf), ctypes.byref(h),
+                      ctypes.byref(w), ctypes.byref(fps))
+    if rc != 0:
+        return None
+    return int(nf.value), h.value, w.value, fps.value
+
+
+def decode_video_indices(path: str, indices,
+                         out_hw: Optional[Tuple[int, int]] = None
+                         ) -> Optional[np.ndarray]:
+    """Decode the (possibly repeated, unordered) frame ``indices`` of a
+    video into one (len(indices), H, W, 3) uint8 RGB array.
+
+    Internally decodes each unique index once in ascending order (the
+    decord unique-index map, reference loading.py:855-876) with a
+    keyframe seek to the first wanted frame, then gathers back to the
+    requested order. Returns None when the native path is unavailable
+    (caller falls back to cv2)."""
+    lib = get_video_lib()
+    if lib is None:
+        return None
+    indices = np.asarray(indices, np.int64).reshape(-1)
+    if indices.size == 0:
+        return None
+    if out_hw is None:
+        probed = probe_video(path)
+        if probed is None:
+            return None
+        out_hw = (probed[1], probed[2])
+    unique, inverse = np.unique(indices, return_inverse=True)
+    buf = np.empty((len(unique), out_hw[0], out_hw[1], 3), np.uint8)
+    rc = lib.vd_decode_indices(
+        path.encode(), unique.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(unique), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_hw[0], out_hw[1])
+    if rc <= 0:
+        return None
+    return buf[inverse]

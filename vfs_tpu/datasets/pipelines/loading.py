@@ -184,11 +184,28 @@ class OpenCVInit:
         return results
 
 
-# the VFS configs say DecordInit/DecordDecode; alias to the cv2 decoder so
-# the shipped configs run unchanged.
 @PIPELINES.register_module(name='DecordInit')
 class DecordInit(OpenCVInit):
-    pass
+    """Probe + register a video for the native FFmpeg decoder — true
+    decord-init semantics (reference loading.py:801-838): container
+    metadata only, no handle kept open (each decode seeks independently,
+    so loader workers never share decoder state). Falls back to the cv2
+    reader when the native library can't build."""
+
+    def __init__(self, io_backend='disk', num_threads=1, **kwargs):
+        super().__init__(io_backend=io_backend)
+        self.num_threads = num_threads
+
+    def __call__(self, results):
+        from ..native_loader import probe_video
+        probed = probe_video(results['filename'])
+        if probed is None:
+            return super().__call__(results)
+        num_frames, height, width, fps = probed
+        results['video_reader'] = ('native', results['filename'])
+        results['total_frames'] = num_frames
+        results['avg_fps'] = fps
+        return results
 
 
 @PIPELINES.register_module()
@@ -234,7 +251,26 @@ class OpenCVDecode:
 
 @PIPELINES.register_module(name='DecordDecode')
 class DecordDecode(OpenCVDecode):
-    pass
+    """Decode sampled ``frame_inds`` through the native FFmpeg library —
+    true decord-get_batch semantics (reference loading.py:840-880): each
+    unique index decoded once in ascending order after a keyframe seek,
+    then gathered back to the requested (possibly repeated) order. Falls
+    back to the cv2 sequential decode when the init step fell back."""
+
+    def __call__(self, results):
+        reader = results.get('video_reader')
+        if not (isinstance(reader, tuple) and reader[0] == 'native'):
+            return super().__call__(results)
+        from ..native_loader import decode_video_indices
+        frame_inds = np.asarray(results['frame_inds']).reshape(-1)
+        batch = decode_video_indices(reader[1], frame_inds)
+        if batch is None:
+            raise IOError(f'native decode failed for {reader[1]}')
+        results['video_reader'] = None
+        results['imgs'] = list(batch)
+        results['original_shape'] = batch.shape[1:3]
+        results['img_shape'] = batch.shape[1:3]
+        return results
 
 
 @PIPELINES.register_module()
@@ -443,13 +479,16 @@ class FrameSelector(RawFrameDecode):
     pass
 
 
+# PyAV (the reference's alternative decoder, loading.py:697-800) is not in
+# this environment; the names map to the same native FFmpeg path — both are
+# FFmpeg-backed, so decoded pixels match PyAV's.
 @PIPELINES.register_module(name='PyAVInit')
-class PyAVInit(OpenCVInit):
+class PyAVInit(DecordInit):
     pass
 
 
 @PIPELINES.register_module(name='PyAVDecode')
-class PyAVDecode(OpenCVDecode):
+class PyAVDecode(DecordDecode):
     pass
 
 
