@@ -1,10 +1,12 @@
-from .augmentations import (CenterCrop, ColorJitter, Flip, MultiScaleCrop,
+from .augmentations import (CenterCrop, ColorJitter, Flip, Fuse,
+                            MultiGroupCrop, MultiScaleCrop,
                             Normalize, PhotoMetricDistortion, RandomCrop,
                             RandomErasing, RandomGaussianBlur,
                             RandomGrayScale, RandomResizedCrop, Resize,
                             RGB2LAB, TenCrop, ThreeCrop)
 from .compose import Compose
-from .formating import Collect, FormatShape, ToTensor, Transpose
+from .formating import (Collect, FormatShape, ImageToTensor,
+                        ToDataContainer, ToTensor, Transpose)
 from .loading import (Clip2Frame, DecordDecode, DecordInit, DuplicateFrames,
                       Frame2Clip, GenerateLocalizationLabels,
                       LoadLocalizationFeature, LoadProposals, OpenCVDecode,
@@ -18,5 +20,6 @@ __all__ = [
     'DecordInit', 'DuplicateFrames', 'Frame2Clip', 'OpenCVDecode',
     'OpenCVInit', 'RawFrameDecode', 'SampleFrames', 'SequentialSampleFrames',
     'GenerateLocalizationLabels', 'LoadLocalizationFeature', 'LoadProposals',
-    'SampleProposalFrames'
+    'SampleProposalFrames', 'Fuse', 'MultiGroupCrop', 'ImageToTensor',
+    'ToDataContainer'
 ]

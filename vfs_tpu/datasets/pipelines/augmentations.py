@@ -716,3 +716,46 @@ class RandomChoiceRotate:
             labels.append(choice)
         results['rotation_labels'] = np.array(labels)
         return results
+
+
+@PIPELINES.register_module()
+class MultiGroupCrop:
+    """``groups`` independent random crops of the whole clip, concatenated
+    along the frame axis (reference augmentations.py:1008-1072)."""
+
+    def __init__(self, crop_size, groups):
+        self.crop_size = (crop_size, crop_size) if isinstance(
+            crop_size, int) else tuple(crop_size)
+        if not isinstance(groups, int) or groups <= 0:
+            raise ValueError(f'groups must be a positive int, got {groups}')
+        self.groups = groups
+
+    def __call__(self, results):
+        imgs = results['imgs']
+        img_h, img_w = imgs[0].shape[:2]
+        crop_w, crop_h = self.crop_size
+        crops, bboxes = [], []
+        for _ in range(self.groups):
+            left = np.random.randint(0, img_w - crop_w + 1)
+            top = np.random.randint(0, img_h - crop_h + 1)
+            bbox = [left, top, left + crop_w, top + crop_h]
+            crops.extend(img[top:top + crop_h, left:left + crop_w]
+                         for img in imgs)
+            bboxes.extend([bbox] * len(imgs))
+        results['imgs'] = crops
+        results['crop_bbox'] = np.array(bboxes)
+        results['img_shape'] = crops[0].shape[:2]
+        return results
+
+
+@PIPELINES.register_module()
+class Fuse:
+    """Config-compatibility no-op (reference augmentations.py:53-94 resolves
+    accumulated lazy crop/flip ops; this framework applies every geometric
+    transform eagerly, so by the time Fuse runs there is nothing to fuse)."""
+
+    def __call__(self, results):
+        if results.get('lazy'):
+            raise RuntimeError('lazy pipeline ops are not supported; all '
+                               'transforms apply eagerly (see docs/config.md)')
+        return results

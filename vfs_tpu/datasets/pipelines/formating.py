@@ -88,3 +88,32 @@ class Transpose:
         for key in self.keys:
             results[key] = np.transpose(results[key], self.order)
         return results
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    """Materialize image keys as arrays (reference formating.py:89-112
+    transposes HWC->CHW for torch; this framework is channels-last
+    end-to-end, so the layout stays HWC — documented in the module
+    docstring alongside FormatShape)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = np.ascontiguousarray(results[key])
+        return results
+
+
+@PIPELINES.register_module()
+class ToDataContainer:
+    """Config-compatibility no-op (reference formating.py:59-88 wraps
+    fields in mmcv DataContainer for its collate; this framework collates
+    plain numpy dicts, so fields pass through unchanged)."""
+
+    def __init__(self, fields=None):
+        self.fields = fields
+
+    def __call__(self, results):
+        return results
