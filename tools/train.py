@@ -25,6 +25,10 @@ def parse_args():
                         help='run the propagation eval each epoch (the '
                              'reference wires this but hard-codes it off, '
                              'tools/train.py:175)')
+    parser.add_argument('--local-devices', default='1',
+                        help="chips to shard --validate eval over: a "
+                             "count or 'all' (reference DistEvalHook "
+                             "parity, eval_hooks.py:135)")
     parser.add_argument('--launcher', default='none',
                         choices=['none', 'jax'],
                         help='multi-host launcher')
@@ -106,8 +110,16 @@ def main():
     if cfg.model.get('type') in LOCALIZER_TYPES:
         train_localizer_model(model, dataset, cfg, logger=logger)
     else:
+        eval_devs = None
+        if args.validate and args.local_devices != '1':
+            ndev = len(jax.local_devices()) if args.local_devices == 'all' \
+                else int(args.local_devices)
+            if ndev > 1:
+                eval_devs = jax.local_devices()[:ndev]
+                logger.info(
+                    f'validation sharded over {len(eval_devs)} chips')
         train_model(model, dataset, cfg, validate=args.validate,
-                    logger=logger)
+                    logger=logger, local_devices=eval_devs)
 
 
 if __name__ == '__main__':

@@ -115,9 +115,12 @@ def make_train_step(model, tx, mixed_precision: bool = False):
 
 
 def train_model(model, dataset, cfg, validate: bool = False,
-                logger=None) -> TrainState:
+                logger=None, local_devices=None) -> TrainState:
     """Train ``model`` (a flax Module with loss-dict __call__) on
-    ``dataset`` per config ``cfg`` (reference apis/train.py:12-119)."""
+    ``dataset`` per config ``cfg`` (reference apis/train.py:12-119).
+
+    ``local_devices``: devices to shard the validation eval over
+    (reference DistEvalHook parity — see :func:`build_val_eval_fn`)."""
     logger = logger or get_root_logger()
     work_dir = cfg.get('work_dir', './work_dirs/default')
     os.makedirs(work_dir, exist_ok=True)
@@ -183,7 +186,8 @@ def train_model(model, dataset, cfg, validate: bool = False,
         eval_cfg = dict(cfg.get('evaluation') or {})
         state_box = {'state': state}
         eval_hook = EvalHook(
-            build_val_eval_fn(cfg, lambda: state_box['state']),
+            build_val_eval_fn(cfg, lambda: state_box['state'],
+                              local_devices=local_devices),
             interval=eval_cfg.get('interval', 1),
             key_indicator=eval_cfg.get('key_indicator'),
             rule=eval_cfg.get('rule'), work_dir=work_dir)
@@ -260,13 +264,20 @@ def train_model(model, dataset, cfg, validate: bool = False,
     return state
 
 
-def build_val_eval_fn(cfg, state_getter):
+def build_val_eval_fn(cfg, state_getter, local_devices=None):
     """Build an eval_fn running the propagation eval on ``cfg.data.val``
     with the CURRENT training backbone weights (the wiring the reference
-    has but never enables: apis/train.py:99-113, tools/train.py:175)."""
+    has but never enables: apis/train.py:99-113, tools/train.py:175).
+
+    Sharding (reference DistEvalHook, eval_hooks.py:135): under multiple
+    JAX processes the videos are sharded per host and the predictions
+    allgathered (``multi_process_test``); on a multi-chip host pass
+    ``local_devices`` (list of ``jax.Device``) to round-robin the videos
+    over the chips instead (``single_process_test(devices=...)``).
+    """
     from ..datasets import build_dataset
     from ..models import build_model
-    from .test import single_process_test
+    from .test import multi_process_test, single_process_test
 
     dataset = build_dataset(cfg.data.val, dict(test_mode=True))
     tracker = build_model(
@@ -275,10 +286,25 @@ def build_val_eval_fn(cfg, state_getter):
 
     def eval_fn():
         state = state_getter()
-        params = state.params.get('_backbone', state.params)
-        stats = state.batch_stats.get('_backbone', state.batch_stats)
+        # The train model (SimSiamBaseTracker) must expose its backbone
+        # under the '_backbone' collection key for the weight hand-off —
+        # a silent miss here would evaluate freshly-initialised weights.
+        if not (hasattr(state.params, 'keys')
+                and '_backbone' in state.params):
+            raise KeyError(
+                "validation weight hand-off: expected '_backbone' in "
+                f'train params (found keys {list(state.params.keys())!r}); '
+                'did the tracker rename its backbone submodule?')
+        params = state.params['_backbone']
+        stats = state.batch_stats.get('_backbone', {}) \
+            if hasattr(state.batch_stats, 'get') else {}
         tracker.variables = {'params': params, 'batch_stats': stats}
-        results = single_process_test(tracker, dataset, progress=False)
+        import jax as _jax
+        if _jax.process_count() > 1:
+            results = multi_process_test(tracker, dataset)
+        else:
+            results = single_process_test(tracker, dataset, progress=False,
+                                          devices=local_devices)
         metrics = cfg.evaluation.get('metrics', 'davis') \
             if cfg.get('evaluation') else 'davis'
         return dataset.evaluate(results, metrics=metrics)

@@ -228,9 +228,9 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(nth, ntw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # query (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # bank feats (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # per-tile mask (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # query (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # bank feats (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # per-tile mask (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, q_n, topk), lambda i, j, *_: (i, j, 0, 0),

@@ -169,9 +169,9 @@ def pallas_local_topk_attend_v2(query_padded, bank_feats, bank_vals,
         num_scalar_prefetch=1,
         grid=(nth, ntw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, q_n, topk), lambda i, j, *_: (i, j, 0, 0),
