@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Pretraining throughput proof: synthetic-K400 SimSiam steps/sec on TPU.
+
+SURVEY §7 lists host decode throughput as the pretraining starve risk
+(the reference feeds 32 vids/GPU with 16 decord workers). This tool
+measures the three rates that decide it, on the real config pipeline
+with fake .mp4 videos:
+
+  1. loader-only samples/sec (decode + augment + collate, no device),
+  2. device-only steps/sec (one resident batch, jitted train step),
+  3. end-to-end steps/sec (loader feeding the device).
+
+Not input-starved ⇔ (1) >= batch * (2), in which case (3) ≈ (2).
+
+Usage:
+    python tools/analysis/bench_pretrain.py [CONFIG] [--steps 20]
+        [--batch-size 32] [--workers 16] [--num-videos 16] [--profile DIR]
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(
+    __file__)))))
+
+DEFAULT_CONFIG = osp.join(
+    osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+    'configs', 'r18_nc_sgd_cos_100e_r2_1xNx8_k400.py')
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Pretrain throughput')
+    parser.add_argument('config', nargs='?', default=DEFAULT_CONFIG)
+    parser.add_argument('--steps', type=int, default=20)
+    parser.add_argument('--batch-size', type=int, default=None,
+                        help='default: cfg.data.videos_per_gpu')
+    parser.add_argument('--workers', type=int, default=None,
+                        help='default: cfg.data.workers_per_gpu')
+    parser.add_argument('--num-videos', type=int, default=None,
+                        help='default: 2 * batch size')
+    parser.add_argument('--video-frames', type=int, default=100)
+    parser.add_argument('--video-hw', type=int, nargs=2,
+                        default=(256, 340))
+    parser.add_argument('--data-dir', default=None,
+                        help='reuse an existing fake-video dir')
+    parser.add_argument('--profile', default=None, metavar='DIR',
+                        help='capture a jax.profiler trace of the '
+                             'end-to-end phase')
+    return parser.parse_args()
+
+
+def make_fake_k400(root, num_videos, num_frames, hw):
+    """Random-noise .mp4s + a video list (K400 layout)."""
+    import cv2
+    os.makedirs(root, exist_ok=True)
+    ann = osp.join(root, 'train_list.txt')
+    if osp.isfile(ann):
+        return ann
+    h, w = hw
+    rng = np.random.RandomState(0)
+    lines = []
+    for v in range(num_videos):
+        name = f'fake_{v:03d}.mp4'
+        writer = cv2.VideoWriter(
+            osp.join(root, name), cv2.VideoWriter_fourcc(*'mp4v'),
+            30, (w, h))
+        base = rng.randint(0, 255, (h, w, 3), np.uint8)
+        for t in range(num_frames):
+            frame = np.roll(base, 3 * t, axis=1)
+            writer.write(frame)
+        writer.release()
+        lines.append(f'{name} {v % 4}\n')
+    with open(ann, 'w') as f:
+        f.writelines(lines)
+    return ann
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/vfs_tpu_xla_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
+    from vfs_tpu.apis.train import create_train_state, make_train_step
+    from vfs_tpu.core.optimizer.builder import build_optimizer
+    from vfs_tpu.datasets import build_dataloader, build_dataset
+    from vfs_tpu.models import build_model
+    from vfs_tpu.utils import Config
+
+    cfg = Config.fromfile(args.config)
+    batch = args.batch_size or cfg.data['videos_per_gpu']
+    workers = args.workers or cfg.data['workers_per_gpu']
+
+    num_videos = args.num_videos or 2 * batch
+    data_dir = args.data_dir or f'/tmp/vfs_tpu_fake_k400_{num_videos}'
+    ann = make_fake_k400(data_dir, num_videos, args.video_frames,
+                         tuple(args.video_hw))
+
+    train_cfg = dict(cfg.data['train'])
+    inner = dict(train_cfg.get('dataset', train_cfg))
+    inner.update(ann_file=ann, data_prefix=data_dir)
+    dataset = build_dataset(inner)
+    loader = build_dataloader(dataset, videos_per_gpu=batch,
+                              workers_per_gpu=workers, shuffle=True,
+                              drop_last=True, seed=0)
+
+    # 1) loader-only: samples/sec through decode+augment+collate
+    it = iter(loader)
+    first = next(it)  # absorb worker spin-up
+    n_batches = max(2, min(len(loader) - 1, args.steps))
+    t0 = time.time()
+    got = 0
+    for _ in range(n_batches):
+        b = next(it, None)
+        if b is None:
+            it = iter(loader)
+            b = next(it)
+        got += b['imgs'].shape[0]
+    loader_sps = got / (time.time() - t0)
+
+    # 2) device-only: jitted SimSiam train step on one resident batch
+    model = build_model(cfg.model, train_cfg=cfg.get('train_cfg'))
+    tx, _ = build_optimizer(cfg.optimizer, cfg.get('lr_config'),
+                            1000, 100, None)
+    state = create_train_state(model, jax.random.PRNGKey(0), first, tx)
+    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    imgs_dev = jnp.asarray(first['imgs'])
+    state, log_vars = train_step(state, imgs_dev)  # compile
+    float(log_vars['loss'])
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, log_vars = train_step(state, imgs_dev)
+    float(log_vars['loss'])  # force completion of the queue
+    device_sps = args.steps / (time.time() - t0)
+
+    # 3) end-to-end: loader feeds the device
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    it = iter(loader)
+    t0 = time.time()
+    steps = 0
+    fetch_blocked = 0.0
+    while steps < args.steps:
+        tf = time.time()
+        b = next(it, None)
+        if b is None:
+            it = iter(loader)
+            b = next(it)
+        fetch_blocked += time.time() - tf
+        state, log_vars = train_step(state, jnp.asarray(b['imgs']))
+        steps += 1
+    float(log_vars['loss'])
+    e2e_time = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+    e2e_sps = steps / e2e_time
+
+    clips, clip_len = first['imgs'].shape[1], first['imgs'].shape[2]
+    frames_per_step = batch * clips * clip_len
+    print(f'config: batch={batch} workers={workers} '
+          f'imgs/step={frames_per_step} ({clips} clips x {clip_len} '
+          f'frames x {batch} videos) shape={tuple(first["imgs"].shape)}')
+    print(f'loader-only:  {loader_sps:.2f} samples/s '
+          f'({loader_sps / batch:.3f} equivalent steps/s)')
+    print(f'device-only:  {device_sps:.3f} steps/s '
+          f'({device_sps * frames_per_step:.0f} frames/s)')
+    print(f'end-to-end:   {e2e_sps:.3f} steps/s '
+          f'({e2e_sps * frames_per_step:.0f} frames/s), '
+          f'loader-blocked {100 * fetch_blocked / e2e_time:.1f}% of wall')
+    starved = loader_sps < device_sps * batch
+    print('input-starved:', 'YES — raise workers or decode size'
+          if starved else 'no (loader outruns the device)')
+
+
+if __name__ == '__main__':
+    main()
