@@ -61,6 +61,36 @@ def test_pallas_v2_interpret_parity(h, w, nr, tile, topk):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_bf16_scores_close():
+    """scores_dtype='bfloat16' (half the top-k sweep bytes) must stay
+    within bf16 rounding of the exact fp32 kernel: the propagated logits
+    are convex combinations of [0,1] values, so the tolerance is the
+    softmax response to a ~1e-2 relative score perturbation."""
+    rng = np.random.RandomState(1)
+    h, w, f, c, k, topk = 12, 14, 5, 16, 3, 4
+    radius, tile = 3, (4, 8)
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    bank_f = l2_normalize(
+        jnp.asarray(rng.randn(f, h, w, c), jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.ones((f,), jnp.int32)
+    qp = pad_for_pallas(query, h, w, radius, tile)
+    bp = pad_for_pallas(bank_f, h, w, radius, tile)
+    outs = {
+        sd: np.asarray(pallas_local_topk_attend(
+            qp, bp, bank_v, valid, radius=radius, temperature=0.07,
+            topk=topk, h=h, w=w, tile=tile, interpret=True,
+            scores_dtype=sd))
+        for sd in ('float32', 'bfloat16')
+    }
+    # same argmax decision almost everywhere, logits close
+    agree = (outs['float32'].argmax(-1) ==
+             outs['bfloat16'].argmax(-1)).mean()
+    assert agree >= 0.99, agree
+    np.testing.assert_allclose(outs['bfloat16'], outs['float32'],
+                               rtol=0.15, atol=0.08)
+
+
 def test_pallas_extract_modes_identical():
     """'descent' (read-only strict lexicographic descent) must be
     bit-identical to the default 'mask' extraction, including duplicate

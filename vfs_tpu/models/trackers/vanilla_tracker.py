@@ -279,7 +279,8 @@ class VanillaTracker:
                 neighbor_range=int(neighbor_range)
                 if use_local else None,
                 backend=test_cfg.get('backend', default_backend),
-                pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)))
+                pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)),
+                pallas_scores=test_cfg.get('pallas_scores', 'float32'))
 
             seg_preds, seg_logits = self._propagate_decode(
                 feats=feat, seg_first=jnp.asarray(seg_first),

@@ -43,7 +43,8 @@ def _round_up(x, m):
 
 
 def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
-                 temperature, extract_mode='mask'):
+                 temperature, extract_mode='mask',
+                 scores_dtype=jnp.float32):
     # Mosaic constraints: HBM DMA slice offsets on the second-to-last dim
     # must be 8-aligned -> the W padding is rounded up to 8 (rw) and key
     # blocks are fetched at the tile origin with width tw + 2*rw; the mask
@@ -98,10 +99,13 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                 preferred_element_type=jnp.float32) * (1.0 / temperature)
             scores = scores + mask_buf[:, :kb_n]  # additive mask
             scores = jnp.where(valid_ref[f] > 0, scores, NEG_INF)
+            # bf16 scores (the extraction passes sweep half the bytes;
+            # bf16 shares f32's exponent so NEG_INF survives the cast)
+            scores = scores.astype(scores_dtype)
             if kb_pad > kb_n:
                 scores = jnp.concatenate(
                     [scores,
-                     jnp.full((q_n, kb_pad - kb_n), NEG_INF, jnp.float32)],
+                     jnp.full((q_n, kb_pad - kb_n), NEG_INF, scores_dtype)],
                     axis=1)
             # kb_pad is a 128-multiple, so the dynamic lane offset is
             # provably aligned
@@ -116,6 +120,11 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
         col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
         top_s = []
         top_i = []
+        # bf16 scores: the sweep reads half the VMEM bytes; compare in f32
+        # registers (bf16 predicates trip a Mosaic i1-relayout bug and bf16
+        # compare throughput is no better)
+        read = (lambda: scores_buf[:].astype(jnp.float32)) \
+            if scores_dtype != jnp.float32 else (lambda: scores_buf[:])
         if extract_mode == 'descent':
             # strict lexicographic descent: pass p finds the row max among
             # elements strictly after the previous pick in (value desc,
@@ -127,7 +136,7 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
             prev_v = None
             prev_i = None
             for p in range(topk):
-                s = scores_buf[:]
+                s = read()
                 if p:
                     s = jnp.where(
                         (s < prev_v) | ((s == prev_v) & (col > prev_i)),
@@ -140,7 +149,7 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                 prev_v, prev_i = m, first_idx
         else:  # 'mask': row-max + first-occurrence one-hot mask-out
             for p in range(topk):
-                s = scores_buf[:]
+                s = read()
                 m = jnp.max(s, axis=1, keepdims=True)      # (Q, 1)
                 eq = s >= m
                 first_idx = jnp.min(jnp.where(eq, col, total_k), axis=1,
@@ -148,8 +157,10 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                 top_s.append(m)
                 top_i.append(first_idx)
                 if p + 1 < topk:
-                    scores_buf[:] = jnp.where(col == first_idx, NEG_INF, s)
-        out_s_ref[0, 0] = jnp.concatenate(top_s, axis=1)   # (Q, topk)
+                    scores_buf[:] = jnp.where(
+                        col == first_idx, NEG_INF, s).astype(scores_dtype)
+        out_s_ref[0, 0] = jnp.concatenate(
+            top_s, axis=1).astype(jnp.float32)             # (Q, topk)
         out_i_ref[0, 0] = jnp.concatenate(top_i, axis=1)
 
     return kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n
@@ -158,7 +169,7 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
 @functools.partial(
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'tile', 'h', 'w',
-                     'interpret', 'extract_mode'))
+                     'interpret', 'extract_mode', 'scores_dtype'))
 def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              bank_feats: jnp.ndarray,
                              bank_vals: jnp.ndarray,
@@ -170,7 +181,8 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              w: int,
                              tile: Tuple[int, int] = (8, 8),
                              interpret: bool = False,
-                             extract_mode: str = 'mask') -> jnp.ndarray:
+                             extract_mode: str = 'mask',
+                             scores_dtype: str = 'float32') -> jnp.ndarray:
     """Fused masked top-k attention over one query frame.
 
     Args:
@@ -182,12 +194,20 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
             epilogue).
         bank_valid: (F,) bool/int.
         h, w: un-padded spatial size.
+        scores_dtype: 'float32' (exact, default) or 'bfloat16' — bf16
+            halves the bytes the k top-k passes sweep through VMEM at the
+            cost of score rounding (ties resolve to the lowest flat index
+            either way; see PROGRESS for the measured A/B).
     Returns:
         (h, w, K) propagated logits.
     """
     if extract_mode not in ('mask', 'descent'):
         raise ValueError(f"extract_mode must be 'mask' or 'descent', got "
                          f"{extract_mode!r}")
+    if scores_dtype not in ('float32', 'bfloat16'):
+        raise ValueError(f"scores_dtype must be 'float32' or 'bfloat16', "
+                         f"got {scores_dtype!r}")
+    s_dtype = jnp.dtype(scores_dtype)
     th, tw = tile
     r = int(math.ceil(radius - 1))
     rw = _round_up(r, 8)
@@ -199,7 +219,7 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
 
     kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n = _make_kernel(
         th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
-        float(temperature), extract_mode)
+        float(temperature), extract_mode, scores_dtype=s_dtype)
 
     # precomputed per-tile additive mask (nth, ntw, q_n, kb_n)
     qi, qj = jnp.divmod(jnp.arange(q_n), tw)
@@ -241,7 +261,7 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((th, tw, c), jnp.float32),        # q_buf
             pltpu.VMEM((2, kbh, kbw, c), jnp.float32),    # key_buf
-            pltpu.VMEM((q_n, total_k), jnp.float32),      # scores
+            pltpu.VMEM((q_n, total_k), s_dtype),          # scores
             pltpu.VMEM((q_n, kb_pad), jnp.float32),       # mask
             pltpu.SemaphoreType.DMA(()),                  # sem_q
             pltpu.SemaphoreType.DMA((2,)),                # sem_k

@@ -54,6 +54,9 @@ class PropagationConfig(NamedTuple):
     # neighbor_range + with_first_neighbor); 'dense' = reference chunked
     backend: str = 'tiled'
     pallas_tile: tuple = (8, 8)
+    # 'bfloat16' halves the bytes the kernel's top-k passes sweep
+    # (speed/parity trade — see pallas_attention.pallas_local_topk_attend)
+    pallas_scores: str = 'float32'
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -265,7 +268,7 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
         seg_logit = pallas_local_topk_attend(
             query, bank_feats, bank_vals, valid, radius=float(radius),
             temperature=cfg.temperature, topk=cfg.topk, h=h, w=w,
-            tile=tile)
+            tile=tile, scores_dtype=cfg.pallas_scores)
         slot = 1 + jnp.mod(t, p)
         bank_feats = jax.lax.dynamic_update_index_in_dim(
             bank_feats, query, slot, 0)
