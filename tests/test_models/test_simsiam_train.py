@@ -172,3 +172,41 @@ def test_mixed_precision_train_step():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      s32.params, s16.params)
     assert 0 < max(jax.tree.leaves(d)) < 0.2
+
+
+def test_uint8_on_device_normalize_train_step():
+    """Normalize(on_device=True) train path: a uint8 batch + img_norm_cfg
+    in the step must produce the SAME loss/params as host-side
+    normalization of the same frames (numerically identical by design)."""
+    import optax
+    from vfs_tpu.apis.train import TrainState, make_train_step
+
+    rng = np.random.RandomState(2)
+    raw = rng.randint(0, 256, (2, 2, 3, 32, 32, 3), np.uint8)
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+    host_norm = jnp.asarray((raw.astype(np.float32) - mean) / std)
+
+    tx = optax.sgd(0.05, momentum=0.9)
+    model = build_model(MODEL_CFG, train_cfg=dict(intra_video=False))
+    variables = model.init(jax.random.PRNGKey(0), host_norm, train=True)
+
+    def fresh_state():
+        return TrainState(step=jnp.zeros((), jnp.int32),
+                          params=variables['params'],
+                          batch_stats=variables.get('batch_stats', {}),
+                          opt_state=tx.init(variables['params']))
+
+    step_f32 = jax.jit(make_train_step(model, tx))
+    _, log_f32 = step_f32(fresh_state(), host_norm)
+
+    step_u8 = jax.jit(make_train_step(
+        model, tx, norm_cfg=dict(mean=mean, std=std)))
+    _, log_u8 = step_u8(fresh_state(), jnp.asarray(raw))
+    assert float(log_f32['loss']) == pytest.approx(
+        float(log_u8['loss']), abs=1e-6)
+
+    # without norm_cfg a uint8 batch must fail loudly, not train garbage
+    step_bad = jax.jit(make_train_step(model, tx))
+    with pytest.raises(ValueError, match='img_norm_cfg'):
+        step_bad(fresh_state(), jnp.asarray(raw))

@@ -37,8 +37,10 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(model, rng, sample_batch, tx) -> TrainState:
-    variables = model.init(rng, jnp.asarray(sample_batch['imgs'][:1]),
-                           train=True)
+    imgs = jnp.asarray(sample_batch['imgs'][:1])
+    if imgs.dtype == jnp.uint8:  # on-device-normalize path: init on floats
+        imgs = imgs.astype(jnp.float32)
+    variables = model.init(rng, imgs, train=True)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = tx.init(params)
@@ -79,7 +81,8 @@ def apply_mixed_precision(cfg) -> bool:
     return mixed
 
 
-def make_train_step(model, tx, mixed_precision: bool = False):
+def make_train_step(model, tx, mixed_precision: bool = False,
+                    norm_cfg: Optional[Dict] = None):
     """Build the jitted train step.
 
     ``mixed_precision=True`` pairs with :func:`apply_mixed_precision`
@@ -88,12 +91,30 @@ def make_train_step(model, tx, mixed_precision: bool = False):
     BatchNorm statistic a bf16-dtyped module produced is cast back to
     the master (fp32) dtype so the running stats never drift to half
     precision. Master params and the optimizer are always fp32.
+
+    ``norm_cfg`` (dict with 'mean'/'std') enables the uint8 input path:
+    a train pipeline using ``Normalize(..., on_device=True)`` ships raw
+    uint8 frames (4x less loader->device traffic) and the step performs
+    the numerically identical (x - mean) / std here. float batches pass
+    through untouched, so the host-normalized path is unaffected.
     """
     half = jnp.bfloat16
+    norm_mean = norm_std = None
+    if norm_cfg is not None:
+        norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
+        norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
 
     def train_step(state: TrainState, imgs):
         def loss_fn(params):
-            x = imgs.astype(half) if mixed_precision else imgs
+            x = imgs
+            if x.dtype == jnp.uint8:
+                if norm_mean is None:
+                    raise ValueError(
+                        'uint8 train batch needs img_norm_cfg (pipeline '
+                        'used Normalize(on_device=True) but the config '
+                        'has no img_norm_cfg)')
+                x = (x.astype(jnp.float32) - norm_mean) / norm_std
+            x = x.astype(half) if mixed_precision else x
             outputs, mutated = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 x, train=True, mutable=['batch_stats'])
@@ -173,7 +194,8 @@ def train_model(model, dataset, cfg, validate: bool = False,
     if mixed:
         logger.info('mixed precision enabled: bf16 compute, fp32 master '
                     'params (fp16 config key maps to bf16 on TPU)')
-    train_step = jax.jit(make_train_step(model, tx, mixed_precision=mixed),
+    train_step = jax.jit(make_train_step(model, tx, mixed_precision=mixed,
+                                         norm_cfg=cfg.get('img_norm_cfg')),
                          donate_argnums=(0,))
 
     log_interval = 50
