@@ -183,3 +183,37 @@ def test_multi_device_eval_matches_single(mini_davis):
     assert len(ref) == len(par)
     for a, b in zip(ref, par):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pred_nibble_packing_lossless(mini_davis):
+    """pack_preds (default on, <16 classes) halves the device->host
+    readback; predictions must be bit-identical to the unpacked path."""
+    ann_file, img_root, ann_root = mini_davis
+    ds = build_dataset(dict(
+        type='DavisDataset', ann_file=ann_file, data_prefix=img_root,
+        anno_prefix=ann_root, data_root=osp.dirname(img_root),
+        pipeline=VAL_PIPELINE, test_mode=True))
+    sample = ds[0]
+    outs = {}
+    for packed in (True, False):
+        model = build_model(
+            dict(type='VanillaTracker',
+                 backbone=dict(type='ResNet', depth=18, out_indices=(3,))),
+            test_cfg=dict(precede_frames=3, topk=5, temperature=0.07,
+                          strides=(1, 2, 1, 1), out_indices=(2,),
+                          neighbor_range=12, batch_step=4,
+                          pack_preds=packed))
+        model.init_weights(input_shape=(1, 64, 96, 3))
+        outs[packed] = model.forward_test(
+            sample['imgs'][0], sample['ref_seg_map'],
+            [sample['img_meta']])[0]
+    np.testing.assert_array_equal(outs[True], outs[False])
+    # odd-width original shapes survive the pad/crop roundtrip
+    from vfs_tpu.models.trackers.vanilla_tracker import VanillaTracker
+    import jax.numpy as jnp
+    pred = np.arange(15, dtype=np.uint8).reshape(3, 5) % 13
+    packed_dev = jnp.asarray(
+        np.pad(pred, ((0, 0), (0, 1)))[:, 0::2]
+        | (np.pad(pred, ((0, 0), (0, 1)))[:, 1::2] << 4))[None]
+    got = VanillaTracker._fetch_preds(packed_dev, 1, (3, 5), True)
+    np.testing.assert_array_equal(got[0], pred)

@@ -132,22 +132,49 @@ class VanillaTracker:
         outs = jax.lax.map(fwd, chunks)
         return tuple(o.reshape(t, *o.shape[2:]) for o in outs)
 
-    @functools.partial(jax.jit, static_argnames=('self', 'cfg', 'out_hw'))
+    @functools.partial(jax.jit,
+                       static_argnames=('self', 'cfg', 'out_hw', 'pack'))
     def _propagate_decode(self, feats, seg_first, mask, class_valid,
-                          cfg: PropagationConfig, out_hw: Tuple[int, int]):
+                          cfg: PropagationConfig, out_hw: Tuple[int, int],
+                          pack: bool = False):
         """Run propagation and decode predictions.
 
-        Returns (seg_preds uint8 (T, *out_hw), seg_logits (T, h, w, K))."""
+        Returns (seg_preds uint8 (T, *out_hw), seg_logits (T, h, w, K)).
+        ``pack=True`` (labels < 16 only) nibble-packs each prediction row
+        pair-wise along W — two 4-bit labels per byte — halving the
+        device->host readback, which costs ~24 ms/frame over a tunneled
+        host link (bench.py host_link_GBps). Lossless; unpacked in
+        ``_fetch_preds``."""
         seg_logits = propagate_video(feats, seg_first, mask, cfg)
 
         def decode(logit):
             up = resize_bilinear(logit[None], out_hw)[0]
             up = normalize_logit(up)
             up = jnp.where(class_valid, up, -1.0)  # padded classes lose
-            return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+            pred = jnp.argmax(up, axis=-1).astype(jnp.uint8)
+            if pack:
+                w = pred.shape[-1]
+                if w % 2:
+                    pred = jnp.pad(pred, ((0, 0), (0, 1)))
+                return pred[:, 0::2] | (pred[:, 1::2] << 4)
+            return pred
 
         seg_preds = jax.lax.map(decode, seg_logits)
         return seg_preds, seg_logits
+
+    @staticmethod
+    def _fetch_preds(seg_preds, t_real: int, out_hw: Tuple[int, int],
+                     packed: bool) -> np.ndarray:
+        """Device->host fetch (+ nibble unpack when packed)."""
+        arr = np.array(seg_preds[:t_real])  # writable host copy
+        if packed:
+            w = out_hw[1]
+            out = np.empty((arr.shape[0], arr.shape[1], 2 * arr.shape[2]),
+                           np.uint8)
+            out[..., 0::2] = arr & 0x0F
+            out[..., 1::2] = arr >> 4
+            arr = out[..., :w]
+        return arr
 
     # -- orchestration ----------------------------------------------------
     def distribute(self, devices):
@@ -282,11 +309,14 @@ class VanillaTracker:
                 pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)),
                 pallas_scores=test_cfg.get('pallas_scores', 'float32'))
 
+            pack = (not input_onehot) and k_pad <= 16 \
+                and bool(test_cfg.get('pack_preds', True))
             seg_preds, seg_logits = self._propagate_decode(
                 feats=feat, seg_first=jnp.asarray(seg_first),
                 mask=mask, class_valid=jnp.asarray(class_valid),
-                cfg=cfg, out_hw=original_shape)
-            seg_preds = np.array(seg_preds[:t_real])  # writable host copy
+                cfg=cfg, out_hw=original_shape, pack=pack)
+            seg_preds = self._fetch_preds(seg_preds, t_real, original_shape,
+                                          pack)
             if not input_onehot:
                 seg_preds[0] = first_pred  # frame 0 = GT (reference :118)
                 all_seg_preds.append(seg_preds[None])  # (1, T, H0, W0)
