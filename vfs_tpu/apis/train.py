@@ -36,11 +36,23 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def model_takes_labels(model) -> bool:
+    """Recognizers consume (imgs, labels); SimSiam trackers are
+    self-supervised and take imgs only."""
+    import inspect
+    return 'labels' in inspect.signature(type(model).__call__).parameters
+
+
 def create_train_state(model, rng, sample_batch, tx) -> TrainState:
     imgs = jnp.asarray(sample_batch['imgs'][:1])
     if imgs.dtype == jnp.uint8:  # on-device-normalize path: init on floats
         imgs = imgs.astype(jnp.float32)
-    variables = model.init(rng, imgs, train=True)
+    args = (imgs,)
+    if model_takes_labels(model) and 'label' in sample_batch:
+        args = (imgs, jnp.asarray(sample_batch['label'][:1]))
+    p_rng, d_rng = jax.random.split(rng)
+    variables = model.init({'params': p_rng, 'dropout': d_rng}, *args,
+                           train=True)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = tx.init(params)
@@ -103,8 +115,9 @@ def make_train_step(model, tx, mixed_precision: bool = False,
     if norm_cfg is not None:
         norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
         norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
+    dropout_rng = jax.random.PRNGKey(0)  # folded with the step counter
 
-    def train_step(state: TrainState, imgs):
+    def train_step(state: TrainState, imgs, labels=None):
         def loss_fn(params):
             x = imgs
             if x.dtype == jnp.uint8:
@@ -115,9 +128,12 @@ def make_train_step(model, tx, mixed_precision: bool = False,
                         'has no img_norm_cfg)')
                 x = (x.astype(jnp.float32) - norm_mean) / norm_std
             x = x.astype(half) if mixed_precision else x
+            args = (x,) if labels is None else (x, labels)
             outputs, mutated = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
-                x, train=True, mutable=['batch_stats'])
+                *args, train=True, mutable=['batch_stats'],
+                rngs={'dropout': jax.random.fold_in(dropout_rng,
+                                                    state.step)})
             total, log_vars = parse_losses(outputs)
             new_stats = jax.tree.map(
                 lambda new, old: new.astype(jnp.asarray(old).dtype),
@@ -226,7 +242,11 @@ def train_model(model, dataset, cfg, validate: bool = False,
         loader.set_epoch(epoch)
         t_iter = time.time()
         for i, batch in enumerate(loader):
-            imgs = shard_batch({'imgs': batch['imgs']}, mesh)['imgs']
+            feed = {'imgs': batch['imgs']}
+            if model_takes_labels(model) and 'label' in batch:
+                feed['label'] = np.asarray(batch['label'])
+            feed = shard_batch(feed, mesh)
+            imgs, labels = feed['imgs'], feed.get('label')
             if profile_steps and steps_run == 2:
                 try:
                     jax.profiler.start_trace(profile_dir)
@@ -235,7 +255,7 @@ def train_model(model, dataset, cfg, validate: bool = False,
                 except Exception as e:  # backend may not support tracing
                     logger.warning(f'profiler unavailable: {e}')
                     profile_steps = 0
-            state, log_vars = train_step(state, imgs)
+            state, log_vars = train_step(state, imgs, labels)
             steps_run += 1
             if trace_active and steps_run >= 2 + profile_steps:
                 jax.block_until_ready(state.step)
