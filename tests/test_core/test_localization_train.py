@@ -216,10 +216,14 @@ def test_ssn_trains_end_to_end(tmp_path):
                       consensus=dict(type='STPPTrain', stpp_cfg=(1, 1, 1),
                                      num_seg=(2, 5, 2)))),
         train_cfg=TRAIN_CFG, test_cfg=TEST_CFG)
-    losses = _run_steps(model, dataset, 'SSN', batch_size=1, steps=4,
+    # SSNDataset's proposal sampling draws from the GLOBAL numpy rng, so
+    # pin it — otherwise the loss trajectory depends on which tests ran
+    # before this one (batch 1 + dropout 0.5 is noisy).
+    np.random.seed(0)
+    losses = _run_steps(model, dataset, 'SSN', batch_size=1, steps=6,
                         lr=0.003)
     assert all(np.isfinite(losses)), losses
-    assert losses[-1] < losses[0], losses
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
 
 
 def test_train_localizer_model_wiring(tmp_path):

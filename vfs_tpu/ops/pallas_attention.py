@@ -152,6 +152,11 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                 s = read()
                 m = jnp.max(s, axis=1, keepdims=True)      # (Q, 1)
                 eq = s >= m
+                # first index attaining the max (ties -> lowest flat
+                # index, the torch.topk rule). Alternatives measured
+                # SLOWER on v5e: jnp.argmax(s) lowers to 10.9 ms/frame vs
+                # 9.9 for where+min; argmax over the bool mask doesn't
+                # lower at all (Mosaic argmax is f32-only).
                 first_idx = jnp.min(jnp.where(eq, col, total_k), axis=1,
                                     keepdims=True)
                 top_s.append(m)
