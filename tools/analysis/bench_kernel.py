@@ -80,6 +80,9 @@ def main():
             'pallas_bf16': PropagationConfig(**base, backend='pallas',
                                              pallas_tile=tile,
                                              pallas_scores='bfloat16'),
+            'pallas_wholefetch': PropagationConfig(
+                **base, backend='pallas', pallas_tile=tile,
+                pallas_fetch='whole'),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

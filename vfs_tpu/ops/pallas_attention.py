@@ -44,7 +44,7 @@ def _round_up(x, m):
 
 def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                  temperature, extract_mode='mask',
-                 scores_dtype=jnp.float32):
+                 scores_dtype=jnp.float32, fetch_mode='perframe'):
     # Mosaic constraints: HBM DMA slice offsets on the second-to-last dim
     # must be 8-aligned -> the W padding is rounded up to 8 (rw) and key
     # blocks are fetched at the tile origin with width tw + 2*rw; the mask
@@ -76,23 +76,36 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
         cp_m.wait()
         cp_q.wait()
 
-        def key_copy(f, slot):
-            return pltpu.make_async_copy(
-                bank_feats_ref.at[f, pl.ds(oy, kbh), pl.ds(ox, kbw), :],
-                key_buf.at[slot], sem_k.at[slot])
+        if fetch_mode == 'whole':
+            # one strided DMA for the tile's key block of EVERY bank frame
+            # (the per-frame loop's DMA waits cost ~2 us each; 21 of them
+            # per tile add up — see PROGRESS round-2 kernel probes)
+            cp_k = pltpu.make_async_copy(
+                bank_feats_ref.at[:, pl.ds(oy, kbh), pl.ds(ox, kbw), :],
+                key_buf, sem_k.at[0])
+            cp_k.start()
+            cp_k.wait()
+        else:
+            def key_copy(f, slot):
+                return pltpu.make_async_copy(
+                    bank_feats_ref.at[f, pl.ds(oy, kbh), pl.ds(ox, kbw), :],
+                    key_buf.at[slot], sem_k.at[slot])
 
-        key_copy(0, 0).start()
+            key_copy(0, 0).start()
         q = q_buf[:].reshape(q_n, c)
 
         def frame_body(f, _):
-            slot = lax.rem(f, 2)
+            if fetch_mode == 'whole':
+                keys = key_buf[f].reshape(kb_n, c)
+            else:
+                slot = lax.rem(f, 2)
 
-            @pl.when(f + 1 < f_frames)
-            def _():
-                key_copy(f + 1, lax.rem(f + 1, 2)).start()
+                @pl.when(f + 1 < f_frames)
+                def _():
+                    key_copy(f + 1, lax.rem(f + 1, 2)).start()
 
-            key_copy(f, slot).wait()
-            keys = key_buf[slot].reshape(kb_n, c)
+                key_copy(f, slot).wait()
+                keys = key_buf[slot].reshape(kb_n, c)
             scores = lax.dot_general(
                 q, keys, (((1,), (1,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
@@ -174,7 +187,8 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
 @functools.partial(
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'tile', 'h', 'w',
-                     'interpret', 'extract_mode', 'scores_dtype'))
+                     'interpret', 'extract_mode', 'scores_dtype',
+                     'fetch_mode'))
 def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              bank_feats: jnp.ndarray,
                              bank_vals: jnp.ndarray,
@@ -187,7 +201,8 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              tile: Tuple[int, int] = (8, 8),
                              interpret: bool = False,
                              extract_mode: str = 'mask',
-                             scores_dtype: str = 'float32') -> jnp.ndarray:
+                             scores_dtype: str = 'float32',
+                             fetch_mode: str = 'perframe') -> jnp.ndarray:
     """Fused masked top-k attention over one query frame.
 
     Args:
@@ -212,6 +227,9 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     if scores_dtype not in ('float32', 'bfloat16'):
         raise ValueError(f"scores_dtype must be 'float32' or 'bfloat16', "
                          f"got {scores_dtype!r}")
+    if fetch_mode not in ('perframe', 'whole'):
+        raise ValueError(f"fetch_mode must be 'perframe' or 'whole', got "
+                         f"{fetch_mode!r}")
     s_dtype = jnp.dtype(scores_dtype)
     th, tw = tile
     r = int(math.ceil(radius - 1))
@@ -224,7 +242,8 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
 
     kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n = _make_kernel(
         th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
-        float(temperature), extract_mode, scores_dtype=s_dtype)
+        float(temperature), extract_mode, scores_dtype=s_dtype,
+        fetch_mode=fetch_mode)
 
     # precomputed per-tile additive mask (nth, ntw, q_n, kb_n)
     qi, qj = jnp.divmod(jnp.arange(q_n), tw)
@@ -265,7 +284,8 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((th, tw, c), jnp.float32),        # q_buf
-            pltpu.VMEM((2, kbh, kbw, c), jnp.float32),    # key_buf
+            pltpu.VMEM((f_frames if fetch_mode == 'whole' else 2,
+                        kbh, kbw, c), jnp.float32),       # key_buf
             pltpu.VMEM((q_n, total_k), s_dtype),          # scores
             pltpu.VMEM((q_n, kb_pad), jnp.float32),       # mask
             pltpu.SemaphoreType.DMA(()),                  # sem_q

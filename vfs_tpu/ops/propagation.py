@@ -57,6 +57,9 @@ class PropagationConfig(NamedTuple):
     # 'bfloat16' halves the bytes the kernel's top-k passes sweep
     # (speed/parity trade — see pallas_attention.pallas_local_topk_attend)
     pallas_scores: str = 'float32'
+    # 'whole' fetches a tile's key blocks for ALL bank frames in one
+    # strided DMA (vs per-frame double-buffered copies); exact either way
+    pallas_fetch: str = 'perframe'
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -268,7 +271,8 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
         seg_logit = pallas_local_topk_attend(
             query, bank_feats, bank_vals, valid, radius=float(radius),
             temperature=cfg.temperature, topk=cfg.topk, h=h, w=w,
-            tile=tile, scores_dtype=cfg.pallas_scores)
+            tile=tile, scores_dtype=cfg.pallas_scores,
+            fetch_mode=cfg.pallas_fetch)
         slot = 1 + jnp.mod(t, p)
         bank_feats = jax.lax.dynamic_update_index_in_dim(
             bank_feats, query, slot, 0)
