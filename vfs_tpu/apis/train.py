@@ -238,12 +238,13 @@ def train_model(model, dataset, cfg, validate: bool = False,
     steps_run = 0
     trace_active = False
 
+    takes_labels = model_takes_labels(model)
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t_iter = time.time()
         for i, batch in enumerate(loader):
             feed = {'imgs': batch['imgs']}
-            if model_takes_labels(model) and 'label' in batch:
+            if takes_labels and 'label' in batch:
                 feed['label'] = np.asarray(batch['label'])
             feed = shard_batch(feed, mesh)
             imgs, labels = feed['imgs'], feed.get('label')
