@@ -249,3 +249,32 @@ def test_train_localizer_model_wiring(tmp_path):
     assert int(state.step) == 2  # 4 videos / batch 2
     ckpts = os.listdir(str(tmp_path / 'work' / 'checkpoints'))
     assert ckpts, 'no checkpoint written'
+
+
+def test_train_localizer_validate(tmp_path):
+    """--validate on a localizer config runs a per-epoch val loss over
+    cfg.data.val and logs it under mode='val' (the flag used to be
+    silently discarded)."""
+    ann = make_activitynet(str(tmp_path))
+    pipeline = [
+        dict(type='LoadLocalizationFeature'),
+        dict(type='GenerateLocalizationLabels'),
+    ]
+    data_cfg = dict(type='ActivityNetDataset', ann_file=ann,
+                    data_prefix=str(tmp_path), pipeline=pipeline)
+    dataset = build_dataset(data_cfg)
+    cfg = Config(dict(
+        model=dict(type='TEM', temporal_dim=T_SCALE, boundary_ratio=0.1,
+                   tem_feat_dim=FEAT_DIM, tem_hidden_dim=32,
+                   tem_match_threshold=0.5),
+        data=dict(videos_per_gpu=2, workers_per_gpu=0, val=data_cfg),
+        optimizer=dict(type='Adam', lr=0.001),
+        total_epochs=1,
+        work_dir=str(tmp_path / 'work')))
+    model = build_model(cfg.model)
+    train_localizer_model(model, dataset, cfg, validate=True)
+    log = (tmp_path / 'work' / 'train_log.jsonl').read_text()
+    val_entries = [json.loads(ln) for ln in log.splitlines()
+                   if '"val"' in ln]
+    assert val_entries, 'no val entries logged'
+    assert np.isfinite(val_entries[-1]['loss'])

@@ -66,6 +66,11 @@ def test_ucf101_split_parser(tmp_path):
     assert ('ApplyEyeMakeup/v_A_g01_c01', 0) in train
     assert ('Archery/v_B_g01_c01', 1) in train
     assert test == [('Archery/v_B_g02_c01', 1)]
+    # level=1 (flat video dirs) must still emit class IDS, not paths
+    train1, test1 = SPLIT_PARSERS['ucf101'](str(tmp_path), level=1)[0]
+    assert ('v_A_g01_c01', 0) in train1
+    assert ('v_B_g01_c01', 1) in train1
+    assert test1 == [('v_B_g02_c01', 1)]
 
 
 def test_hmdb51_split_parser(tmp_path):

@@ -115,6 +115,45 @@ def test_vanilla_tracker_davis_eval(mini_davis):
     assert 0.0 <= eval_results['J&F-Mean'] <= 1.0
 
 
+def test_tracker_kernel_tuning_keys_wired(mini_davis, monkeypatch):
+    """Every documented test_cfg kernel-tuning key must actually reach
+    PropagationConfig (pallas_fetch used to be silently dropped)."""
+    from vfs_tpu.models.trackers import vanilla_tracker as vt
+    ann_file, img_root, ann_root = mini_davis
+    ds = build_dataset(dict(
+        type='DavisDataset', ann_file=ann_file, data_prefix=img_root,
+        anno_prefix=ann_root, data_root=osp.dirname(img_root),
+        pipeline=VAL_PIPELINE, test_mode=True))
+    model = build_model(
+        dict(type='VanillaTracker',
+             backbone=dict(type='ResNet', depth=18, out_indices=(3,))),
+        test_cfg=dict(precede_frames=3, topk=5, temperature=0.07,
+                      strides=(1, 2, 1, 1), out_indices=(2,),
+                      neighbor_range=12, with_first=True,
+                      with_first_neighbor=True, batch_step=4,
+                      backend='pallas', pallas_tile=(8, 16),
+                      pallas_scores='bfloat16', pallas_fetch='whole'))
+    model.init_weights(input_shape=(1, 64, 96, 3))
+    captured = {}
+    real = vt.propagate_video
+
+    def spy(feats, seg_first, mask, cfg):
+        captured['cfg'] = cfg
+        return real(feats, seg_first, mask,
+                    cfg._replace(backend='tiled', pallas_scores='float32',
+                                 pallas_fetch='perframe'))
+
+    monkeypatch.setattr(vt, 'propagate_video', spy)
+    sample = ds[0]
+    model.forward_test(sample['imgs'][0], sample['ref_seg_map'],
+                       [sample['img_meta']])
+    cfg = captured['cfg']
+    assert cfg.backend == 'pallas'
+    assert cfg.pallas_tile == (8, 16)
+    assert cfg.pallas_scores == 'bfloat16'
+    assert cfg.pallas_fetch == 'whole'
+
+
 def test_davis_eval_perfect_predictions(mini_davis):
     """Feeding GT as predictions must give J&F == 1."""
     ann_file, img_root, ann_root = mini_davis

@@ -78,6 +78,18 @@ def test_oob_index_repeats_last(index_video):
     np.testing.assert_array_equal(out[0], out[1])
 
 
+def test_all_indices_past_eof_clamp(index_video):
+    """Every wanted index beyond the true last frame (duration*fps
+    metadata overcount on VFR video): decord clamps to the last frame
+    instead of erroring, and so must we."""
+    out = decode_video_indices(index_video, [200, 300])
+    assert out is not None, 'all-past-EOF clip must clamp, not fail'
+    assert out.shape == (2, 48, 64, 3)
+    np.testing.assert_array_equal(out[0], out[1])
+    # pixels must come from a real late frame, not garbage
+    assert int(np.median(out[0])) > 200  # frame 59 is gray 236
+
+
 def test_decord_pipeline_classes(index_video):
     pipe = Compose([
         dict(type='DecordInit'),

@@ -210,3 +210,34 @@ def test_uint8_on_device_normalize_train_step():
     step_bad = jax.jit(make_train_step(model, tx))
     with pytest.raises(ValueError, match='img_norm_cfg'):
         step_bad(fresh_state(), jnp.asarray(raw))
+
+
+def test_train_norm_cfg_follows_pipeline_not_toplevel():
+    """The on-device normalize must use the constants of the pipeline's
+    actual Normalize transform — cfg.img_norm_cfg is only a convention
+    and can differ (e.g. reused for another modality)."""
+    from vfs_tpu.apis.train import _pipeline_norm_cfg
+    from vfs_tpu.datasets.dataset_wrappers import RepeatDataset
+    from vfs_tpu.datasets.pipelines import Compose
+
+    pipeline_mean = [100.0, 100.0, 100.0]
+
+    class _Stub:
+        def __len__(self):
+            return 1
+
+    stub = _Stub()
+    stub.pipeline = Compose([
+        dict(type='Normalize', mean=pipeline_mean, std=[50.0] * 3,
+             on_device=True)])
+    got = _pipeline_norm_cfg(stub)
+    np.testing.assert_array_equal(got['mean'], pipeline_mean)
+    np.testing.assert_array_equal(got['std'], [50.0] * 3)
+    # unwraps dataset wrappers
+    wrapped = RepeatDataset(stub, times=2)
+    got2 = _pipeline_norm_cfg(wrapped)
+    np.testing.assert_array_equal(got2['mean'], pipeline_mean)
+    # no Normalize in the pipeline -> None (caller falls back)
+    stub2 = _Stub()
+    stub2.pipeline = Compose([])
+    assert _pipeline_norm_cfg(stub2) is None

@@ -84,9 +84,11 @@ def parse_ucf101_splits(data_root, level=2):
                      for idx, name in (ln.split() for ln in f if ln.strip())}
 
     def to_item(line):
+        # the class name is always the path's dirname, whatever the
+        # output level — the label must be a class id in both layouts
         path = line.strip().split()[0]
         vid = _strip_to_level(path, level)
-        label = class_map[path.split('/')[0]] if level == 2 else path
+        label = class_map[path.split('/')[0]]
         return vid, label
 
     splits = []

@@ -108,7 +108,12 @@ def main():
     from vfs_tpu.apis.train_localizer import (LOCALIZER_TYPES,
                                               train_localizer_model)
     if cfg.model.get('type') in LOCALIZER_TYPES:
-        train_localizer_model(model, dataset, cfg, logger=logger)
+        if args.local_devices != '1':
+            logger.info('--local-devices: localizer validation computes a '
+                        'mesh-sharded val loss; per-chip eval sharding '
+                        'does not apply')
+        train_localizer_model(model, dataset, cfg, validate=args.validate,
+                              logger=logger)
     else:
         eval_devs = None
         if args.validate and args.local_devices != '1':

@@ -94,7 +94,7 @@ def apply_mixed_precision(cfg) -> bool:
 
 
 def make_train_step(model, tx, mixed_precision: bool = False,
-                    norm_cfg: Optional[Dict] = None):
+                    norm_cfg: Optional[Dict] = None, seed: int = 0):
     """Build the jitted train step.
 
     ``mixed_precision=True`` pairs with :func:`apply_mixed_precision`
@@ -115,7 +115,9 @@ def make_train_step(model, tx, mixed_precision: bool = False,
     if norm_cfg is not None:
         norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
         norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
-    dropout_rng = jax.random.PRNGKey(0)  # folded with the step counter
+    # Seeded from the config so seed sweeps decorrelate dropout too;
+    # folded with the step counter for a fresh mask every step.
+    dropout_rng = jax.random.PRNGKey(seed)
 
     def train_step(state: TrainState, imgs, labels=None):
         def loss_fn(params):
@@ -149,6 +151,24 @@ def make_train_step(model, tx, mixed_precision: bool = False,
         return new_state, log_vars
 
     return train_step
+
+
+def _pipeline_norm_cfg(dataset) -> Optional[Dict]:
+    """The mean/std the train pipeline's ``Normalize`` actually applies.
+
+    The uint8 on-device normalize must use THESE constants — the
+    top-level ``cfg.img_norm_cfg`` is only a convention and can
+    legitimately differ from what the pipeline was built with (e.g. a
+    dict reused for another modality). Unwraps dataset wrappers
+    (RepeatDataset et al.) via their ``.dataset`` attribute."""
+    from ..datasets.pipelines.augmentations import Normalize
+    ds = dataset
+    while not hasattr(ds, 'pipeline') and hasattr(ds, 'dataset'):
+        ds = ds.dataset
+    for t in getattr(getattr(ds, 'pipeline', None), 'transforms', []):
+        if isinstance(t, Normalize):
+            return dict(mean=t.mean, std=t.std)
+    return None
 
 
 def train_model(model, dataset, cfg, validate: bool = False,
@@ -188,8 +208,11 @@ def train_model(model, dataset, cfg, validate: bool = False,
     mesh = create_mesh(('data',))
     rng = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
 
-    # init on a sample batch
-    sample = next(iter(loader))
+    # init on a sample batch (close the iterator so its decode workers
+    # stop instead of racing the real epoch loop for CPU)
+    _it = iter(loader)
+    sample = next(_it)
+    _it.close()
     state = create_train_state(model, rng, sample, tx)
     state = jax.device_put(state, replicated(mesh))
 
@@ -210,8 +233,10 @@ def train_model(model, dataset, cfg, validate: bool = False,
     if mixed:
         logger.info('mixed precision enabled: bf16 compute, fp32 master '
                     'params (fp16 config key maps to bf16 on TPU)')
+    norm_cfg = _pipeline_norm_cfg(dataset) or cfg.get('img_norm_cfg')
     train_step = jax.jit(make_train_step(model, tx, mixed_precision=mixed,
-                                         norm_cfg=cfg.get('img_norm_cfg')),
+                                         norm_cfg=norm_cfg,
+                                         seed=cfg.get('seed', 0) or 0),
                          donate_argnums=(0,))
 
     log_interval = 50

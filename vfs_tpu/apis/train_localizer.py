@@ -131,6 +131,25 @@ def make_localizer_train_step(model, tx, kind: str):
     return train_step
 
 
+def make_localizer_eval_step(model, kind: str):
+    """Validation loss over one prepared batch — the localizer analogue
+    of the reference's ``val`` workflow step (mmcv ``val_step`` runs the
+    same loss forward without an optimizer update)."""
+    _, fwd = _KINDS[kind]
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        losses, _ = model.apply(variables, rngs={'dropout': rng},
+                                mutable=['batch_stats'], method=fwd,
+                                rng=rng, **batch)
+        _, log_vars = _sum_losses(losses)
+        return log_vars
+
+    return eval_step
+
+
 def _init_call_kwargs(kind, tensors):
     if kind == 'PEM':
         flat = tensors['bsp_feature'].reshape(
@@ -146,9 +165,15 @@ def _init_call_kwargs(kind, tensors):
     return (jnp.asarray(tensors[key]),), {}
 
 
-def train_localizer_model(model, dataset, cfg, logger=None) -> TrainState:
+def train_localizer_model(model, dataset, cfg, validate: bool = False,
+                          logger=None) -> TrainState:
     """Train a localizer per config ``cfg`` — the localization analogue of
-    ``apis.train.train_model``."""
+    ``apis.train.train_model``.
+
+    ``validate=True`` runs a per-epoch validation loss over
+    ``cfg.data.val`` (the reference's BMN/BSN ``workflow=[('train',1),
+    ('val',1)]`` equivalent), sharded over the same data mesh as
+    training and logged under ``mode='val'``."""
     kind = cfg.model['type']
     assert kind in _KINDS, f'not a localizer: {kind}'
     prepare, _ = _KINDS[kind]
@@ -176,7 +201,9 @@ def train_localizer_model(model, dataset, cfg, logger=None) -> TrainState:
 
     mesh = create_mesh(('data',))
     rng = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
-    sample = next(iter(loader))
+    _it = iter(loader)
+    sample = next(_it)
+    _it.close()  # stop the decode workers behind the abandoned iterator
     init_rng, rng = jax.random.split(rng)
     state = _create_state_from_sample(model, init_rng, sample, tx, kind)
     state = jax.device_put(state, replicated(mesh))
@@ -193,6 +220,26 @@ def train_localizer_model(model, dataset, cfg, logger=None) -> TrainState:
                          donate_argnums=(0,))
     log_interval = (cfg.log_config.get('interval', 50)
                     if cfg.get('log_config') else 50)
+
+    val_loader = eval_step = None
+    eval_interval = 1
+    if validate:
+        val_cfg = (cfg.get('data') or {}).get('val')
+        if not val_cfg:
+            logger.warning('--validate requested but cfg.data.val is '
+                           'missing; skipping validation')
+            validate = False
+        else:
+            from ..datasets import build_dataset
+            val_loader = build_dataloader(
+                build_dataset(val_cfg),
+                videos_per_gpu=cfg.data['videos_per_gpu'],
+                workers_per_gpu=cfg.data['workers_per_gpu'],
+                shuffle=False, drop_last=True,
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index())
+            eval_step = jax.jit(make_localizer_eval_step(model, kind))
+            eval_interval = (cfg.get('evaluation') or {}).get('interval', 1)
 
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
@@ -222,6 +269,25 @@ def train_localizer_model(model, dataset, cfg, logger=None) -> TrainState:
                     os.path.join(work_dir, 'checkpoints'), epoch + 1,
                     jax.device_get(state))
                 logger.info(f'checkpoint saved to {path}')
+        if validate and (epoch + 1) % eval_interval == 0:
+            sums: Dict[str, float] = {}
+            nb = 0
+            val_rng = jax.random.PRNGKey(0)  # fixed: comparable epochs
+            for batch in val_loader:
+                tensors = shard_batch(prepare(model, batch), mesh)
+                log_vars = eval_step(state, tensors, val_rng)
+                for k, v in log_vars.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                nb += 1
+            if nb:
+                means = {k: v / nb for k, v in sums.items()}
+                msg = ', '.join(f'{k}: {v:.4f}' for k, v in means.items())
+                logger.info(f'Epoch [{epoch + 1}] val ({nb} batches): '
+                            + msg)
+                jsonl.log(dict(mode='val', epoch=epoch + 1, **means))
+            else:
+                logger.warning('validation loader produced no batches '
+                               '(val set smaller than one batch?)')
     return state
 
 

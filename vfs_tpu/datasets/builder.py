@@ -199,25 +199,39 @@ class DataLoader:
             if pool is not None:
                 yield from self._iter_process(pool, batches)
                 return
-        out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        yield from self._iter_thread(batches)
+
+    def _iter_thread(self, batches) -> Iterator[dict]:
+        """Threaded decode with a BOUNDED in-flight window: workers block
+        once ``prefetch + num_workers`` undelivered batches exist (an
+        unbounded backlog would decode the whole epoch into host memory
+        when the consumer is slower than decode), and stop promptly when
+        the consumer abandons the iterator (generator close)."""
+        import time
+        nbatch = len(batches)
         idx_q: 'queue.Queue' = queue.Queue()
         for i, b in enumerate(batches):
             idx_q.put((i, b))
         results = {}
         lock = threading.Lock()
-
         errors = []
+        stop = threading.Event()
+        slots = threading.Semaphore(self.prefetch + self.num_workers)
 
         def worker():
-            while True:
+            while not stop.is_set():
+                if not slots.acquire(timeout=0.1):
+                    continue  # window full; re-check stop
                 try:
                     i, b = idx_q.get_nowait()
                 except queue.Empty:
+                    slots.release()
                     return
                 try:
                     samples = [self.dataset[int(j)] for j in b]
                     collated = self._collate(samples)
                 except Exception as exc:  # propagate to the iterator
+                    slots.release()
                     with lock:
                         errors.append(exc)
                     return
@@ -229,28 +243,28 @@ class DataLoader:
         for t in threads:
             t.start()
         served = 0
-        import time
-        while served < nbatch:
-            with lock:
-                if errors:
-                    raise errors[0]
-                ready = served in results
-            if ready:
-                with lock:
-                    batch = results.pop(served)
-                served += 1
-                yield batch
-            elif not any(t.is_alive() for t in threads):
+        try:
+            while served < nbatch:
                 with lock:
                     if errors:
                         raise errors[0]
-                    if served not in results:
-                        raise RuntimeError(
-                            'DataLoader workers exited without producing '
-                            f'batch {served}')
-            else:
-                time.sleep(0.002)
-        del out_q
+                    batch = results.pop(served, None)
+                if batch is not None:
+                    served += 1
+                    slots.release()
+                    yield batch
+                elif not any(t.is_alive() for t in threads):
+                    with lock:
+                        if errors:
+                            raise errors[0]
+                        if served not in results:
+                            raise RuntimeError(
+                                'DataLoader workers exited without '
+                                f'producing batch {served}')
+                else:
+                    time.sleep(0.002)
+        finally:
+            stop.set()
 
 
 def build_dataloader(dataset, videos_per_gpu: int, workers_per_gpu: int,

@@ -202,7 +202,9 @@ class DecordInit(OpenCVInit):
         if probed is None:
             return super().__call__(results)
         num_frames, height, width, fps = probed
-        results['video_reader'] = ('native', results['filename'])
+        # carry (h, w) so the decode step can skip a second container probe
+        results['video_reader'] = ('native', results['filename'],
+                                   (height, width))
         results['total_frames'] = num_frames
         results['avg_fps'] = fps
         return results
@@ -263,7 +265,8 @@ class DecordDecode(OpenCVDecode):
             return super().__call__(results)
         from ..native_loader import decode_video_indices
         frame_inds = np.asarray(results['frame_inds']).reshape(-1)
-        batch = decode_video_indices(reader[1], frame_inds)
+        out_hw = reader[2] if len(reader) > 2 else None
+        batch = decode_video_indices(reader[1], frame_inds, out_hw=out_hw)
         if batch is None:
             raise IOError(f'native decode failed for {reader[1]}')
         results['video_reader'] = None

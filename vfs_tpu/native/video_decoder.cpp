@@ -125,9 +125,11 @@ int vd_decode_indices(const char* path, const int64_t* indices, int n,
   const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
   SwsContext* sws = nullptr;
   AVFrame* frame = av_frame_alloc();
+  AVFrame* last_frame = av_frame_alloc();  // newest decoded frame (clamp src)
   AVPacket* pkt = av_packet_alloc();
-  if (frame == nullptr || pkt == nullptr) {
+  if (frame == nullptr || last_frame == nullptr || pkt == nullptr) {
     av_frame_free(&frame);
+    av_frame_free(&last_frame);
     av_packet_free(&pkt);
     return -3;
   }
@@ -145,16 +147,16 @@ int vd_decode_indices(const char* path, const int64_t* indices, int n,
   bool use_seq = false;
   bool eof = false;
 
-  auto store = [&](int slot) {
+  auto store = [&](const AVFrame* f, int slot) {
     uint8_t* dst = out + static_cast<size_t>(slot) * frame_bytes;
     uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
     int dst_linesize[4] = {out_w * 3, 0, 0, 0};
     sws = sws_getCachedContext(
-        sws, frame->width, frame->height,
-        static_cast<AVPixelFormat>(frame->format), out_w, out_h,
+        sws, f->width, f->height,
+        static_cast<AVPixelFormat>(f->format), out_w, out_h,
         AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (sws == nullptr) return false;
-    sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+    sws_scale(sws, f->data, f->linesize, 0, f->height, dst_data,
               dst_linesize);
     return true;
   };
@@ -192,8 +194,9 @@ int vd_decode_indices(const char* path, const int64_t* indices, int n,
       // fill every wanted index at or before the current frame (exact
       // match, or nearest-after frame when timestamps skip in VFR video)
       while (want < n && indices[want] <= idx) {
-        if (!store(want)) {
+        if (!store(frame, want)) {
           av_frame_free(&frame);
+          av_frame_free(&last_frame);
           av_packet_free(&pkt);
           if (sws != nullptr) sws_freeContext(sws);
           return -4;
@@ -201,14 +204,28 @@ int vd_decode_indices(const char* path, const int64_t* indices, int n,
         ++filled;
         ++want;
       }
+      // remember the newest decoded frame even when no wanted index
+      // matched: if every wanted index lies past the true last frame
+      // (duration*fps metadata overcount on VFR video), the tail clamp
+      // below still needs real pixels to repeat — decord clamps to the
+      // last frame instead of erroring, and so do we.
+      av_frame_unref(last_frame);
+      av_frame_ref(last_frame, frame);
       av_frame_unref(frame);
     }
   }
 
-  // metadata overcounted: repeat the last decoded content for the tail
+  // metadata overcounted: clamp the unfilled tail to the last decoded
+  // frame. filled==0 is still fine as long as SOMETHING decoded (all
+  // wanted indices past the true last frame) — convert it now.
+  if (want < n && filled == 0 && last_frame->data[0] != nullptr) {
+    if (store(last_frame, want)) {
+      ++filled;
+      ++want;
+    }
+  }
   if (filled > 0 && want < n) {
     const uint8_t* last = out + static_cast<size_t>(want - 1) * frame_bytes;
-    // if want==0 never happens here since filled>0 implies want>=1
     for (int i = want; i < n; ++i) {
       std::memcpy(out + static_cast<size_t>(i) * frame_bytes, last,
                   frame_bytes);
@@ -216,6 +233,7 @@ int vd_decode_indices(const char* path, const int64_t* indices, int n,
   }
 
   av_frame_free(&frame);
+  av_frame_free(&last_frame);
   av_packet_free(&pkt);
   if (sws != nullptr) sws_freeContext(sws);
   return filled > 0 ? filled : -5;
