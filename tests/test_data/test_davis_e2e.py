@@ -132,7 +132,8 @@ def test_tracker_kernel_tuning_keys_wired(mini_davis, monkeypatch):
                       neighbor_range=12, with_first=True,
                       with_first_neighbor=True, batch_step=4,
                       backend='pallas', pallas_tile=(8, 16),
-                      pallas_scores='bfloat16', pallas_fetch='whole'))
+                      pallas_scores='bfloat16', pallas_fetch='whole',
+                      pallas_precision='bfloat16'))
     model.init_weights(input_shape=(1, 64, 96, 3))
     captured = {}
     real = vt.propagate_video
@@ -141,7 +142,8 @@ def test_tracker_kernel_tuning_keys_wired(mini_davis, monkeypatch):
         captured['cfg'] = cfg
         return real(feats, seg_first, mask,
                     cfg._replace(backend='tiled', pallas_scores='float32',
-                                 pallas_fetch='perframe'))
+                                 pallas_fetch='perframe',
+                                 pallas_precision='float32'))
 
     monkeypatch.setattr(vt, 'propagate_video', spy)
     sample = ds[0]
@@ -152,6 +154,7 @@ def test_tracker_kernel_tuning_keys_wired(mini_davis, monkeypatch):
     assert cfg.pallas_tile == (8, 16)
     assert cfg.pallas_scores == 'bfloat16'
     assert cfg.pallas_fetch == 'whole'
+    assert cfg.pallas_precision == 'bfloat16'
 
 
 def test_davis_eval_perfect_predictions(mini_davis):

@@ -91,6 +91,57 @@ def test_pallas_bf16_scores_close():
                                rtol=0.15, atol=0.08)
 
 
+def test_pallas_bf16_matmul_close():
+    """matmul_precision='bfloat16' (one native MXU pass instead of the
+    6-pass fp32 emulation — the production speed mode) rounds only the
+    QK^T inputs; scores/extraction stay fp32. Must match the exact
+    kernel's argmax decisions almost everywhere with close logits."""
+    rng = np.random.RandomState(2)
+    h, w, f, c, k, topk = 12, 14, 5, 16, 3, 4
+    radius, tile = 3, (4, 8)
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    bank_f = l2_normalize(
+        jnp.asarray(rng.randn(f, h, w, c), jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.ones((f,), jnp.int32)
+    qp = pad_for_pallas(query, h, w, radius, tile)
+    bp = pad_for_pallas(bank_f, h, w, radius, tile)
+    outs = {
+        mp: np.asarray(pallas_local_topk_attend(
+            qp, bp, bank_v, valid, radius=radius, temperature=0.07,
+            topk=topk, h=h, w=w, tile=tile, interpret=True,
+            matmul_precision=mp))
+        for mp in ('float32', 'bfloat16')
+    }
+    agree = (outs['float32'].argmax(-1) ==
+             outs['bfloat16'].argmax(-1)).mean()
+    assert agree >= 0.99, agree
+    np.testing.assert_allclose(outs['bfloat16'], outs['float32'],
+                               rtol=0.15, atol=0.08)
+
+
+def test_propagation_cfg_bf16_matmul():
+    """The PropagationConfig knob routes through propagate_video (the
+    production scan) and stays close to the exact path."""
+    from vfs_tpu.ops.propagation import PropagationConfig, propagate_video
+    rng = np.random.RandomState(4)
+    t, h, w, c, k = 6, 12, 14, 16, 3
+    feats = jnp.asarray(rng.randn(t, h, w, c), jnp.float32)
+    seg = jnp.zeros((h, w, k), jnp.float32).at[..., 0].set(1.0)
+    seg = seg.at[3:8, 4:10, 0].set(0.0).at[3:8, 4:10, 1].set(1.0)
+    base = dict(precede_frames=3, topk=4, temperature=0.07,
+                with_first=True, with_first_neighbor=True, with_norm=True,
+                neighbor_range=6, backend='pallas', pallas_tile=(4, 8),
+                pallas_interpret=True)
+    outs = {}
+    for mp in ('float32', 'bfloat16'):
+        cfg = PropagationConfig(**base, pallas_precision=mp)
+        outs[mp] = np.asarray(propagate_video(feats, seg, None, cfg))
+    agree = (outs['float32'].argmax(-1) ==
+             outs['bfloat16'].argmax(-1)).mean()
+    assert agree >= 0.98, agree
+
+
 def test_pallas_extract_modes_identical():
     """'descent' (read-only strict lexicographic descent) must be
     bit-identical to the default 'mask' extraction, including duplicate

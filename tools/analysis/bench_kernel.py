@@ -83,6 +83,9 @@ def main():
             'pallas_wholefetch': PropagationConfig(
                 **base, backend='pallas', pallas_tile=tile,
                 pallas_fetch='whole'),
+            'pallas_bf16mm': PropagationConfig(
+                **base, backend='pallas', pallas_tile=tile,
+                pallas_precision='bfloat16'),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

@@ -308,7 +308,9 @@ class VanillaTracker:
                 backend=test_cfg.get('backend', default_backend),
                 pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)),
                 pallas_scores=test_cfg.get('pallas_scores', 'float32'),
-                pallas_fetch=test_cfg.get('pallas_fetch', 'perframe'))
+                pallas_fetch=test_cfg.get('pallas_fetch', 'perframe'),
+                pallas_precision=test_cfg.get('pallas_precision',
+                                              'float32'))
 
             pack = (not input_onehot) and k_pad <= 16 \
                 and bool(test_cfg.get('pack_preds', True))

@@ -44,7 +44,8 @@ def _round_up(x, m):
 
 def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                  temperature, extract_mode='mask',
-                 scores_dtype=jnp.float32, fetch_mode='perframe'):
+                 scores_dtype=jnp.float32, fetch_mode='perframe',
+                 feat_dtype=jnp.float32):
     # Mosaic constraints: HBM DMA slice offsets on the second-to-last dim
     # must be 8-aligned -> the W padding is rounded up to 8 (rw) and key
     # blocks are fetched at the tile origin with width tw + 2*rw; the mask
@@ -106,9 +107,15 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
 
                 key_copy(f, slot).wait()
                 keys = key_buf[slot].reshape(kb_n, c)
+            # fp32 features: HIGHEST = 6-pass bf16 emulation on the MXU
+            # (exact). bf16 features: one native MXU pass with an fp32
+            # accumulator — 6x fewer MXU passes and half the key DMA/VMEM
+            # bytes, at bf16 input rounding (see matmul_precision docs).
             scores = lax.dot_general(
                 q, keys, (((1,), (1,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
+                precision=(lax.Precision.DEFAULT
+                           if feat_dtype == jnp.bfloat16
+                           else lax.Precision.HIGHEST),
                 preferred_element_type=jnp.float32) * (1.0 / temperature)
             scores = scores + mask_buf[:, :kb_n]  # additive mask
             scores = jnp.where(valid_ref[f] > 0, scores, NEG_INF)
@@ -188,7 +195,7 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'tile', 'h', 'w',
                      'interpret', 'extract_mode', 'scores_dtype',
-                     'fetch_mode'))
+                     'fetch_mode', 'matmul_precision'))
 def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              bank_feats: jnp.ndarray,
                              bank_vals: jnp.ndarray,
@@ -202,7 +209,9 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              interpret: bool = False,
                              extract_mode: str = 'mask',
                              scores_dtype: str = 'float32',
-                             fetch_mode: str = 'perframe') -> jnp.ndarray:
+                             fetch_mode: str = 'perframe',
+                             matmul_precision: str = 'float32'
+                             ) -> jnp.ndarray:
     """Fused masked top-k attention over one query frame.
 
     Args:
@@ -218,6 +227,11 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
             halves the bytes the k top-k passes sweep through VMEM at the
             cost of score rounding (ties resolve to the lowest flat index
             either way; see PROGRESS for the measured A/B).
+        matmul_precision: 'float32' (exact: 6-pass bf16 MXU emulation,
+            default) or 'bfloat16' — casts query/key features to bf16 so
+            the QK^T runs as ONE native MXU pass with an fp32 accumulator
+            (key DMA + VMEM bytes halve too). Scores and the top-k
+            extraction stay fp32; only the inputs round.
     Returns:
         (h, w, K) propagated logits.
     """
@@ -230,7 +244,14 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     if fetch_mode not in ('perframe', 'whole'):
         raise ValueError(f"fetch_mode must be 'perframe' or 'whole', got "
                          f"{fetch_mode!r}")
+    if matmul_precision not in ('float32', 'bfloat16'):
+        raise ValueError(f"matmul_precision must be 'float32' or "
+                         f"'bfloat16', got {matmul_precision!r}")
     s_dtype = jnp.dtype(scores_dtype)
+    feat_dtype = jnp.dtype(jnp.bfloat16) if matmul_precision == 'bfloat16' \
+        else jnp.dtype(jnp.float32)
+    query_padded = query_padded.astype(feat_dtype)
+    bank_feats = bank_feats.astype(feat_dtype)
     th, tw = tile
     r = int(math.ceil(radius - 1))
     rw = _round_up(r, 8)
@@ -243,7 +264,7 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n = _make_kernel(
         th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
         float(temperature), extract_mode, scores_dtype=s_dtype,
-        fetch_mode=fetch_mode)
+        fetch_mode=fetch_mode, feat_dtype=feat_dtype)
 
     # precomputed per-tile additive mask (nth, ntw, q_n, kb_n)
     qi, qj = jnp.divmod(jnp.arange(q_n), tw)
@@ -283,9 +304,9 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th, tw, c), jnp.float32),        # q_buf
+            pltpu.VMEM((th, tw, c), feat_dtype),         # q_buf
             pltpu.VMEM((f_frames if fetch_mode == 'whole' else 2,
-                        kbh, kbw, c), jnp.float32),       # key_buf
+                        kbh, kbw, c), feat_dtype),        # key_buf
             pltpu.VMEM((q_n, total_k), s_dtype),          # scores
             pltpu.VMEM((q_n, kb_pad), jnp.float32),       # mask
             pltpu.SemaphoreType.DMA(()),                  # sem_q

@@ -60,6 +60,12 @@ class PropagationConfig(NamedTuple):
     # 'whole' fetches a tile's key blocks for ALL bank frames in one
     # strided DMA (vs per-frame double-buffered copies); exact either way
     pallas_fetch: str = 'perframe'
+    # 'bfloat16' stores/feeds features in bf16: the kernel's QK^T runs
+    # one native MXU pass instead of the 6-pass fp32 emulation and key
+    # DMA/VMEM bytes halve; scores + top-k extraction stay fp32
+    pallas_precision: str = 'float32'
+    # run the kernel in pallas interpret mode (CPU testing only)
+    pallas_interpret: bool = False
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -251,6 +257,10 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
     tile = cfg.pallas_tile
 
     feats = l2_normalize(feats, axis=-1)
+    if cfg.pallas_precision == 'bfloat16':
+        # bf16 bank: halves the ring-buffer update traffic in the scan
+        # AND lets the kernel take the single-pass MXU path
+        feats = feats.astype(jnp.bfloat16)
     feats_pad = pad_for_pallas(feats, h, w, radius, tile)
     hp2, wp2 = feats_pad.shape[1:3]
 
@@ -272,7 +282,9 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
             query, bank_feats, bank_vals, valid, radius=float(radius),
             temperature=cfg.temperature, topk=cfg.topk, h=h, w=w,
             tile=tile, scores_dtype=cfg.pallas_scores,
-            fetch_mode=cfg.pallas_fetch)
+            fetch_mode=cfg.pallas_fetch,
+            matmul_precision=cfg.pallas_precision,
+            interpret=cfg.pallas_interpret)
         slot = 1 + jnp.mod(t, p)
         bank_feats = jax.lax.dynamic_update_index_in_dim(
             bank_feats, query, slot, 0)
