@@ -75,9 +75,12 @@ def make_videos():
 
 def build_model():
     from vfs_tpu.models import build_model as _build
+    # dtype='bfloat16' is the documented eval speed knob (fixture-J&F
+    # neutral, r1 sweep): extraction 18.0 -> 16.3 ms/frame compute
     model = _build(
         dict(type='VanillaTracker',
-             backbone=dict(type='ResNet', depth=18, out_indices=(3,))),
+             backbone=dict(type='ResNet', depth=18, out_indices=(3,),
+                           dtype='bfloat16')),
         test_cfg=dict(TEST_CFG))
     model.init_weights(input_shape=(1, 480, 854, 3))
     return model

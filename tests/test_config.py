@@ -43,7 +43,24 @@ def test_all_four_configs_present():
         'r18_sgd_cos_100e_r2_1xNx8_k400.py',
         'r50_nc_sgd_cos_100e_r5_1xNx2_k400.py',
         'r50_sgd_cos_100e_r5_1xNx2_k400.py',
+        'r18_sgd_cos_100e_r2_1xNx8_k400_deviceaug.py',
     }
+
+
+def test_deviceaug_config_chain_builds():
+    """The device-aug variant's cfg.device_aug spec must compile into a
+    runnable on-device chain with the config's own norm constants."""
+    import jax
+    import numpy as np
+
+    from vfs_tpu.ops.device_aug import build_device_aug
+    cfg = Config.fromfile(osp.join(
+        CONFIG_DIR, 'r18_sgd_cos_100e_r2_1xNx8_k400_deviceaug.py'))
+    fn = build_device_aug(cfg.device_aug['transforms'], cfg.img_norm_cfg,
+                          out_hw=tuple(cfg.device_aug['out_hw']))
+    imgs = np.zeros((1, 2, 4, 64, 80, 3), np.uint8)
+    out = fn(imgs, np.asarray([[256, 340]]), jax.random.PRNGKey(0))
+    assert out.shape == (1, 2, 4, 224, 224, 3)
 
 
 def test_reference_pipeline_registry_parity():

@@ -51,7 +51,40 @@ def parse_args():
     parser.add_argument('--profile', default=None, metavar='DIR',
                         help='capture a jax.profiler trace of the '
                              'end-to-end phase')
+    parser.add_argument('--device-aug', action='store_true',
+                        help='move the augmentation chain onto the TPU '
+                             '(ops/device_aug): the host only decodes + '
+                             'resizes to --staging')
+    parser.add_argument('--staging', type=int, nargs=2, default=(256, 320),
+                        metavar=('H', 'W'),
+                        help='uint8 staging size shipped to the device '
+                             'in --device-aug mode')
     return parser.parse_args()
+
+
+# transform types the device chain supports (ops/device_aug.py)
+_DEVICE_AUG_TYPES = ('RandomResizedCrop', 'Resize', 'Flip', 'ColorJitter',
+                     'RandomGrayScale', 'RandomGaussianBlur')
+
+
+def split_device_aug_pipeline(pipeline, staging):
+    """Split a host train pipeline: loading/sampling/decoding steps stay
+    on the host (+ a DeviceAug staging resize), the supported aug
+    transforms move to the device chain. Returns (host_pipeline,
+    device_transforms)."""
+    host, device = [], []
+    for t in pipeline:
+        typ = t['type']
+        if typ in _DEVICE_AUG_TYPES:
+            device.append(dict(t))
+        elif typ in ('Normalize', 'FormatShape', 'Collect', 'ToTensor'):
+            continue  # replaced by DeviceAug + device-side normalize
+        else:
+            host.append(dict(t))
+    host.append(dict(type='DeviceAug', scale=(staging[1], staging[0])))
+    host.append(dict(type='Collect', keys=['imgs', 'label', 'orig_hw'],
+                     meta_keys=()))
+    return host, device
 
 
 def make_fake_k400(root, num_videos, num_frames, hw):
@@ -106,6 +139,15 @@ def main():
     train_cfg = dict(cfg.data['train'])
     inner = dict(train_cfg.get('dataset', train_cfg))
     inner.update(ann_file=ann, data_prefix=data_dir)
+    device_aug_fn = None
+    if args.device_aug:
+        from vfs_tpu.ops.device_aug import build_device_aug
+        host_pipe, dev_transforms = split_device_aug_pipeline(
+            inner['pipeline'], tuple(args.staging))
+        inner['pipeline'] = host_pipe
+        device_aug_fn = build_device_aug(dev_transforms, cfg.img_norm_cfg)
+        print(f'device-aug: {len(dev_transforms)} transforms on TPU, '
+              f'staging {tuple(args.staging)} uint8')
     dataset = build_dataset(inner)
     loader = build_dataloader(dataset, videos_per_gpu=batch,
                               workers_per_gpu=workers, shuffle=True,
@@ -129,14 +171,19 @@ def main():
     model = build_model(cfg.model, train_cfg=cfg.get('train_cfg'))
     tx, _ = build_optimizer(cfg.optimizer, cfg.get('lr_config'),
                             1000, 100, None)
-    state = create_train_state(model, jax.random.PRNGKey(0), first, tx)
-    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), first, tx,
+        aug_out_hw=(224, 224) if device_aug_fn else None)
+    train_step = jax.jit(make_train_step(model, tx,
+                                         device_aug=device_aug_fn),
+                         donate_argnums=(0,))
     imgs_dev = jnp.asarray(first['imgs'])
-    state, log_vars = train_step(state, imgs_dev)  # compile
+    hw_dev = jnp.asarray(first['orig_hw']) if device_aug_fn else None
+    state, log_vars = train_step(state, imgs_dev, None, hw_dev)  # compile
     float(log_vars['loss'])
     t0 = time.time()
     for _ in range(args.steps):
-        state, log_vars = train_step(state, imgs_dev)
+        state, log_vars = train_step(state, imgs_dev, None, hw_dev)
     float(log_vars['loss'])  # force completion of the queue
     device_sps = args.steps / (time.time() - t0)
 
@@ -154,7 +201,9 @@ def main():
             it = iter(loader)
             b = next(it)
         fetch_blocked += time.time() - tf
-        state, log_vars = train_step(state, jnp.asarray(b['imgs']))
+        hw_b = jnp.asarray(b['orig_hw']) if device_aug_fn else None
+        state, log_vars = train_step(state, jnp.asarray(b['imgs']), None,
+                                     hw_b)
         steps += 1
     float(log_vars['loss'])
     e2e_time = time.time() - t0

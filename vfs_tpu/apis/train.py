@@ -13,7 +13,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +43,17 @@ def model_takes_labels(model) -> bool:
     return 'labels' in inspect.signature(type(model).__call__).parameters
 
 
-def create_train_state(model, rng, sample_batch, tx) -> TrainState:
+def create_train_state(model, rng, sample_batch, tx,
+                       aug_out_hw: Optional[Tuple[int, int]] = None
+                       ) -> TrainState:
     imgs = jnp.asarray(sample_batch['imgs'][:1])
-    if imgs.dtype == jnp.uint8:  # on-device-normalize path: init on floats
+    if aug_out_hw is not None:
+        # on-device augmentation: the model sees post-crop frames, not
+        # the staging shape the loader ships
+        b, n, t = imgs.shape[:3]
+        imgs = jnp.zeros((b, n, t) + tuple(aug_out_hw) + imgs.shape[-1:],
+                         jnp.float32)
+    elif imgs.dtype == jnp.uint8:  # on-device-normalize: init on floats
         imgs = imgs.astype(jnp.float32)
     args = (imgs,)
     if model_takes_labels(model) and 'label' in sample_batch:
@@ -94,7 +102,8 @@ def apply_mixed_precision(cfg) -> bool:
 
 
 def make_train_step(model, tx, mixed_precision: bool = False,
-                    norm_cfg: Optional[Dict] = None, seed: int = 0):
+                    norm_cfg: Optional[Dict] = None, seed: int = 0,
+                    device_aug=None):
     """Build the jitted train step.
 
     ``mixed_precision=True`` pairs with :func:`apply_mixed_precision`
@@ -118,11 +127,17 @@ def make_train_step(model, tx, mixed_precision: bool = False,
     # Seeded from the config so seed sweeps decorrelate dropout too;
     # folded with the step counter for a fresh mask every step.
     dropout_rng = jax.random.PRNGKey(seed)
+    aug_rng = jax.random.fold_in(dropout_rng, 0x617567)  # 'aug' stream
 
-    def train_step(state: TrainState, imgs, labels=None):
+    def train_step(state: TrainState, imgs, labels=None, orig_hw=None):
         def loss_fn(params):
             x = imgs
-            if x.dtype == jnp.uint8:
+            if device_aug is not None:
+                # full augmentation chain on device (crop/flip/jitter/
+                # blur/normalize — see ops/device_aug.py)
+                x = device_aug(x, orig_hw,
+                               jax.random.fold_in(aug_rng, state.step))
+            elif x.dtype == jnp.uint8:
                 if norm_mean is None:
                     raise ValueError(
                         'uint8 train batch needs img_norm_cfg (pipeline '
@@ -208,12 +223,29 @@ def train_model(model, dataset, cfg, validate: bool = False,
     mesh = create_mesh(('data',))
     rng = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
 
+    # on-device augmentation (cfg.device_aug = dict(transforms=[...])):
+    # the loader ships uint8 staging frames (pipeline DeviceAug) and the
+    # whole crop/flip/jitter/blur/normalize chain runs in the train step
+    norm_cfg = _pipeline_norm_cfg(dataset) or cfg.get('img_norm_cfg')
+    device_aug = None
+    aug_out_hw = None
+    if cfg.get('device_aug'):
+        from ..ops.device_aug import build_device_aug
+        da = dict(cfg.device_aug)
+        aug_out_hw = tuple(da.get('out_hw', (224, 224)))
+        device_aug = build_device_aug(
+            da['transforms'], da.get('img_norm_cfg') or norm_cfg,
+            out_hw=aug_out_hw)
+        logger.info('on-device augmentation enabled '
+                    f'({len(da["transforms"])} transforms -> {aug_out_hw})')
+
     # init on a sample batch (close the iterator so its decode workers
     # stop instead of racing the real epoch loop for CPU)
     _it = iter(loader)
     sample = next(_it)
     _it.close()
-    state = create_train_state(model, rng, sample, tx)
+    state = create_train_state(model, rng, sample, tx,
+                               aug_out_hw=aug_out_hw)
     state = jax.device_put(state, replicated(mesh))
 
     # auto-resume (reference tools/train.py:103-105)
@@ -233,10 +265,10 @@ def train_model(model, dataset, cfg, validate: bool = False,
     if mixed:
         logger.info('mixed precision enabled: bf16 compute, fp32 master '
                     'params (fp16 config key maps to bf16 on TPU)')
-    norm_cfg = _pipeline_norm_cfg(dataset) or cfg.get('img_norm_cfg')
     train_step = jax.jit(make_train_step(model, tx, mixed_precision=mixed,
                                          norm_cfg=norm_cfg,
-                                         seed=cfg.get('seed', 0) or 0),
+                                         seed=cfg.get('seed', 0) or 0,
+                                         device_aug=device_aug),
                          donate_argnums=(0,))
 
     log_interval = 50
@@ -271,6 +303,8 @@ def train_model(model, dataset, cfg, validate: bool = False,
             feed = {'imgs': batch['imgs']}
             if takes_labels and 'label' in batch:
                 feed['label'] = np.asarray(batch['label'])
+            if device_aug is not None:
+                feed['orig_hw'] = np.asarray(batch['orig_hw'])
             feed = shard_batch(feed, mesh)
             imgs, labels = feed['imgs'], feed.get('label')
             if profile_steps and steps_run == 2:
@@ -281,7 +315,8 @@ def train_model(model, dataset, cfg, validate: bool = False,
                 except Exception as e:  # backend may not support tracing
                     logger.warning(f'profiler unavailable: {e}')
                     profile_steps = 0
-            state, log_vars = train_step(state, imgs, labels)
+            state, log_vars = train_step(state, imgs, labels,
+                                         feed.get('orig_hw'))
             steps_run += 1
             if trace_active and steps_run >= 2 + profile_steps:
                 jax.block_until_ready(state.step)

@@ -1,4 +1,5 @@
-from .augmentations import (CenterCrop, ColorJitter, Flip, Fuse,
+from .augmentations import (CenterCrop, ColorJitter, DeviceAug,
+                            Flip, Fuse,
                             MultiGroupCrop, MultiScaleCrop,
                             Normalize, PhotoMetricDistortion, RandomCrop,
                             RandomErasing, RandomGaussianBlur,
@@ -14,7 +15,7 @@ from .loading import (Clip2Frame, DecordDecode, DecordInit, DuplicateFrames,
                       SampleProposalFrames, SequentialSampleFrames)
 
 __all__ = [
-    'CenterCrop', 'ColorJitter', 'Flip', 'MultiScaleCrop', 'Normalize', 'PhotoMetricDistortion', 'RandomCrop', 'RandomErasing', 'RGB2LAB', 'TenCrop', 'ThreeCrop', 'RandomGaussianBlur',
+    'CenterCrop', 'ColorJitter', 'DeviceAug', 'Flip', 'MultiScaleCrop', 'Normalize', 'PhotoMetricDistortion', 'RandomCrop', 'RandomErasing', 'RGB2LAB', 'TenCrop', 'ThreeCrop', 'RandomGaussianBlur',
     'RandomGrayScale', 'RandomResizedCrop', 'Resize', 'Compose', 'Collect',
     'FormatShape', 'ToTensor', 'Transpose', 'Clip2Frame', 'DecordDecode',
     'DecordInit', 'DuplicateFrames', 'Frame2Clip', 'OpenCVDecode',

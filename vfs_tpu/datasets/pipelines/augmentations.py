@@ -759,3 +759,33 @@ class Fuse:
             raise RuntimeError('lazy pipeline ops are not supported; all '
                                'transforms apply eagerly (see docs/config.md)')
         return results
+
+
+@PIPELINES.register_module()
+class DeviceAug:
+    """Host-side prep for ON-DEVICE augmentation (vfs_tpu/ops/device_aug):
+    resize decoded frames to a fixed uint8 staging size, stack them into
+    ``(num_clips, clip_len, Hs, Ws, C)``, and record the original frame
+    size (crop rects are sampled in original coordinates on the device).
+    Replaces the host RandomResizedCrop/Resize/Flip/ColorJitter/
+    GrayScale/Blur/Normalize/FormatShape chain — those transforms move
+    into ``cfg.device_aug`` and run inside the jitted train step, so the
+    host only decodes + one resize (the SURVEY §7 input-starve fix)."""
+
+    def __init__(self, scale=(320, 256)):
+        self.scale = tuple(scale)  # (W, H), Resize convention
+
+    def __call__(self, results):
+        import cv2
+        imgs = results['imgs']
+        orig_hw = np.asarray(imgs[0].shape[:2], np.int32)
+        w, h = self.scale
+        if imgs[0].shape[:2] != (h, w):
+            imgs = [cv2.resize(im, (w, h), interpolation=cv2.INTER_LINEAR)
+                    for im in imgs]
+        arr = np.stack(imgs).astype(np.uint8)
+        n = int(results.get('num_clips', 1))
+        t = len(imgs) // n
+        results['imgs'] = arr.reshape(n, t, h, w, arr.shape[-1])
+        results['orig_hw'] = orig_hw
+        return results
