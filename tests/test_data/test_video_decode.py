@@ -73,9 +73,12 @@ def test_decode_resize(index_video):
     assert abs(int(np.median(out[0])) - 20) <= 4
 
 
-def test_oob_index_repeats_last(index_video):
-    out = decode_video_indices(index_video, [58, 200])
-    np.testing.assert_array_equal(out[0], out[1])
+def test_oob_index_clamps_to_last_frame(index_video):
+    """A past-EOF index must clamp to the TRUE last decoded frame (59),
+    not to the last in-range wanted index (decord parity)."""
+    out = decode_video_indices(index_video, [10, 200])
+    assert abs(int(np.median(out[0])) - 40) <= 4    # frame 10
+    assert abs(int(np.median(out[1])) - 236) <= 6   # frame 59, not 10
 
 
 def test_all_indices_past_eof_clamp(index_video):

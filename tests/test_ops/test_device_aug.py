@@ -91,6 +91,11 @@ def test_gaussian_blur_matches_cv2():
         ref = cv2.GaussianBlur(img[0], (0, 0), sigma)
         np.testing.assert_allclose(out[0], ref, atol=2.5,
                                    err_msg=f'sigma={sigma}')
+    # wide sigma needs a wider kernel: radius derives from 3*sigma
+    out = np.asarray(gaussian_blur(jnp.asarray(img), jnp.asarray([4.0]),
+                                   jnp.asarray([True]), max_radius=12))
+    ref = cv2.GaussianBlur(img[0], (0, 0), 4.0)
+    np.testing.assert_allclose(out[0], ref, atol=2.5)
     out = np.asarray(gaussian_blur(jnp.asarray(img), jnp.asarray([1.0]),
                                    jnp.asarray([False])))
     np.testing.assert_allclose(out[0], img[0], atol=1e-4)
@@ -159,6 +164,57 @@ def test_device_aug_same_on_clip_broadcast():
     for n in range(2):
         for t in range(1, 4):
             np.testing.assert_array_equal(out[0, n, t], out[0, n, 0])
+
+
+def test_build_device_aug_rejects_unknown_kwargs():
+    """Host-only kwargs (same_clip_indices) and typos must fail loudly —
+    a silently different augmentation distribution is worse than an
+    error."""
+    norm = dict(mean=[0.0] * 3, std=[1.0] * 3)
+    with pytest.raises(ValueError, match='same_clip_indices'):
+        build_device_aug([dict(type='Flip', flip_ratio=0.5,
+                               same_clip_indices=(0,))], norm)
+    with pytest.raises(ValueError, match='flip_ration'):
+        build_device_aug([dict(type='Flip', flip_ration=0.5)], norm)
+    with pytest.raises(ValueError, match='img_norm_cfg'):
+        build_device_aug([dict(type='Flip')], None)
+    # a Resize inside the chain resolves fn.out_hw
+    fn = build_device_aug([
+        dict(type='RandomResizedCrop'),
+        dict(type='Resize', scale=(112, 96), keep_ratio=False)], norm)
+    assert fn.out_hw == (96, 112)
+
+
+def test_localizer_eval_step_is_deterministic():
+    """The val loss runs in eval mode: dropout off, so two different rng
+    keys must give identical losses (PEM has dropout_ratio>0)."""
+    import optax
+
+    from vfs_tpu.apis.train_localizer import (_create_state_from_sample,
+                                              make_localizer_eval_step)
+    from vfs_tpu.models import build_model as _build
+
+    model = _build(dict(
+        type='PEM', pem_feat_dim=8, pem_hidden_dim=16, pem_u_ratio_m=1.0,
+        pem_u_ratio_l=2.0, pem_high_temporal_iou_threshold=0.6,
+        pem_low_temporal_iou_threshold=0.2, soft_nms_alpha=0.75,
+        soft_nms_low_threshold=0.65, soft_nms_high_threshold=0.9,
+        post_process_top_k=100))
+    rng = np.random.RandomState(8)
+    batch = dict(bsp_feature=[rng.randn(16, 8).astype(np.float32)
+                              for _ in range(2)],
+                 reference_temporal_iou=[rng.rand(16).astype(np.float32)
+                                         for _ in range(2)])
+    tx = optax.sgd(0.01)
+    state = _create_state_from_sample(model, jax.random.PRNGKey(0), batch,
+                                      tx, 'PEM')
+    from vfs_tpu.apis.train_localizer import _KINDS
+    tensors = {k: np.asarray(v) for k, v in
+               _KINDS['PEM'][0](model, batch).items()}
+    ev = jax.jit(make_localizer_eval_step(model, 'PEM'))
+    l1 = ev(state, tensors, jax.random.PRNGKey(1))
+    l2 = ev(state, tensors, jax.random.PRNGKey(2))
+    assert float(l1['loss']) == float(l2['loss'])
 
 
 def test_device_aug_sharded_over_mesh():

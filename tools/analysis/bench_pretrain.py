@@ -173,7 +173,7 @@ def main():
                             1000, 100, None)
     state = create_train_state(
         model, jax.random.PRNGKey(0), first, tx,
-        aug_out_hw=(224, 224) if device_aug_fn else None)
+        aug_out_hw=device_aug_fn.out_hw if device_aug_fn else None)
     train_step = jax.jit(make_train_step(model, tx,
                                          device_aug=device_aug_fn),
                          donate_argnums=(0,))

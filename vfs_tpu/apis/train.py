@@ -232,10 +232,10 @@ def train_model(model, dataset, cfg, validate: bool = False,
     if cfg.get('device_aug'):
         from ..ops.device_aug import build_device_aug
         da = dict(cfg.device_aug)
-        aug_out_hw = tuple(da.get('out_hw', (224, 224)))
         device_aug = build_device_aug(
             da['transforms'], da.get('img_norm_cfg') or norm_cfg,
-            out_hw=aug_out_hw)
+            out_hw=tuple(da.get('out_hw', (224, 224))))
+        aug_out_hw = device_aug.out_hw  # a Resize in the chain wins
         logger.info('on-device augmentation enabled '
                     f'({len(da["transforms"])} transforms -> {aug_out_hw})')
 

@@ -60,31 +60,32 @@ def _ssn_prepare(model, batch) -> Dict[str, np.ndarray]:
 
 
 def _bmn_train(m, raw_feature, label_confidence, label_start, label_end,
-               rng):
-    cm, start, end = m(raw_feature, train=True)
+               rng, train=True):
+    cm, start, end = m(raw_feature, train=train)
     return m.loss(cm, start, end, label_confidence, label_start, label_end,
                   rng=rng)
 
 
-def _tem_train(m, raw_feature, label_action, label_start, label_end, rng):
-    out = m(raw_feature, train=True)
+def _tem_train(m, raw_feature, label_action, label_start, label_end, rng,
+               train=True):
+    out = m(raw_feature, train=train)
     return m.loss(out, label_action, label_start, label_end)
 
 
-def _pem_train(m, bsp_feature, reference_temporal_iou, rng):
+def _pem_train(m, bsp_feature, reference_temporal_iou, rng, train=True):
     # per-sample proposal banks are flattened into one pool, matching the
     # reference's collated (N*P, D) batch
     flat = bsp_feature.reshape(-1, bsp_feature.shape[-1])
-    out = m(flat, train=True)
+    out = m(flat, train=train)
     loss = m.loss(out, reference_temporal_iou.reshape(-1), rng=rng)
     return loss if isinstance(loss, dict) else dict(loss=loss)
 
 
 def _ssn_train(m, imgs, proposal_scale_factor, proposal_type,
-               proposal_labels, reg_targets, rng):
+               proposal_labels, reg_targets, rng, train=True):
     return m(imgs, proposal_scale_factor=proposal_scale_factor,
              proposal_type=proposal_type, proposal_labels=proposal_labels,
-             reg_targets=reg_targets, train=True, return_loss=True)
+             reg_targets=reg_targets, train=train, return_loss=True)
 
 
 _KINDS = {
@@ -133,8 +134,9 @@ def make_localizer_train_step(model, tx, kind: str):
 
 def make_localizer_eval_step(model, kind: str):
     """Validation loss over one prepared batch — the localizer analogue
-    of the reference's ``val`` workflow step (mmcv ``val_step`` runs the
-    same loss forward without an optimizer update)."""
+    of the reference's ``val`` workflow step. Runs the loss forward in
+    EVAL mode (``train=False``: dropout off, BN running stats), matching
+    the reference runner's ``model.eval()`` during the val workflow."""
     _, fwd = _KINDS[kind]
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
@@ -143,7 +145,7 @@ def make_localizer_eval_step(model, kind: str):
             variables['batch_stats'] = state.batch_stats
         losses, _ = model.apply(variables, rngs={'dropout': rng},
                                 mutable=['batch_stats'], method=fwd,
-                                rng=rng, **batch)
+                                rng=rng, train=False, **batch)
         _, log_vars = _sum_losses(losses)
         return log_vars
 
@@ -231,11 +233,13 @@ def train_localizer_model(model, dataset, cfg, validate: bool = False,
             validate = False
         else:
             from ..datasets import build_dataset
+            # drop_last=False: every val sample counts (the ragged final
+            # batch costs one extra jit shape-compile, once)
             val_loader = build_dataloader(
                 build_dataset(val_cfg),
                 videos_per_gpu=cfg.data['videos_per_gpu'],
                 workers_per_gpu=cfg.data['workers_per_gpu'],
-                shuffle=False, drop_last=True,
+                shuffle=False, drop_last=False,
                 num_shards=jax.process_count(),
                 shard_index=jax.process_index())
             eval_step = jax.jit(make_localizer_eval_step(model, kind))

@@ -215,10 +215,10 @@ int vd_decode_indices(const char* path, const int64_t* indices, int n,
     }
   }
 
-  // metadata overcounted: clamp the unfilled tail to the last decoded
-  // frame. filled==0 is still fine as long as SOMETHING decoded (all
-  // wanted indices past the true last frame) — convert it now.
-  if (want < n && filled == 0 && last_frame->data[0] != nullptr) {
+  // metadata overcounted: wanted indices remain past the true last
+  // frame. Clamp them to the LAST DECODED frame (decord semantics) —
+  // not the last *stored* one, which may be an earlier wanted index.
+  if (want < n && last_frame->data[0] != nullptr) {
     if (store(last_frame, want)) {
       ++filled;
       ++want;

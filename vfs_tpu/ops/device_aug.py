@@ -195,7 +195,9 @@ def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray, apply: jnp.ndarray,
     x: (F, H, W, C); sigma/apply: (F,). Taps follow cv2's
     getGaussianKernel truncation (radius = round(3*sigma) for uint8
     inputs); taps beyond the per-frame radius are zeroed before
-    normalization. Border mode reflect-101 (cv2 default).
+    normalization. ``max_radius`` must cover round(3*max(sigma)) — the
+    builder derives it from the configured sigma_range. Border mode
+    reflect-101 (cv2 default).
     """
     f, h, w, c = x.shape
     taps = 2 * max_radius + 1
@@ -240,11 +242,33 @@ def build_device_aug(transforms: Sequence[Dict], norm_cfg: Dict,
     ``(B, N, T, Hs, Ws, 3)`` uint8 staging frames (+ per-sample original
     ``(B, 2)`` sizes) to normalized ``(B, N, T, out_h, out_w, 3)``.
     """
+    # every kwarg each transform type may carry on device; anything else
+    # (same_clip_indices, typos, host-only features) fails loudly rather
+    # than silently changing the augmentation distribution
+    _FLAGS = ('same_on_clip', 'same_across_clip')
+    _KNOWN = {
+        'Resize': ('scale', 'keep_ratio'),
+        'RandomResizedCrop': ('area_range', 'aspect_ratio_range') + _FLAGS,
+        'Flip': ('flip_ratio', 'direction') + _FLAGS,
+        'ColorJitter': ('brightness', 'contrast', 'saturation', 'hue',
+                        'p') + _FLAGS,
+        'RandomGrayScale': ('p',) + _FLAGS,
+        'RandomGaussianBlur': ('p', 'sigma_range') + _FLAGS,
+    }
     spec: List[Tuple] = []
     out_hw = tuple(out_hw)
     for t_cfg in transforms:
         t_cfg = dict(t_cfg)
         typ = t_cfg.pop('type')
+        if typ not in _KNOWN:
+            raise ValueError(f'device aug does not support {typ!r}; keep '
+                             f'it on the host pipeline')
+        unknown = sorted(set(t_cfg) - set(_KNOWN[typ]))
+        if unknown:
+            raise ValueError(
+                f'device aug {typ}: unsupported kwargs {unknown} (the '
+                f'host transform may support them — keep such pipelines '
+                f'on the host)')
         if typ == 'Resize':
             scale = t_cfg.get('scale')
             if t_cfg.get('keep_ratio', True) or scale is None:
@@ -252,11 +276,11 @@ def build_device_aug(transforms: Sequence[Dict], norm_cfg: Dict,
                                  'keep_ratio=False with explicit scale')
             out_hw = (int(scale[1]), int(scale[0]))  # (W, H) -> (H, W)
             continue
-        if typ not in ('RandomResizedCrop', 'Flip', 'ColorJitter',
-                       'RandomGrayScale', 'RandomGaussianBlur'):
-            raise ValueError(f'device aug does not support {typ!r}; keep '
-                             f'it on the host pipeline')
         spec.append((typ, t_cfg))
+    if norm_cfg is None or 'mean' not in norm_cfg or 'std' not in norm_cfg:
+        raise ValueError(
+            'device aug needs normalization constants: set img_norm_cfg '
+            'at the config top level or inside cfg.device_aug')
     mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
     std = jnp.asarray(norm_cfg['std'], jnp.float32)
     if norm_cfg.get('to_bgr'):
@@ -324,7 +348,8 @@ def build_device_aug(transforms: Sequence[Dict], norm_cfg: Dict,
                 sigma = jax.random.uniform(ks[0], g, minval=lo, maxval=hi)
                 apply = jax.random.uniform(ks[1], g) < cfg.get('p', 0.5)
                 x = gaussian_blur(x, _bcast(sigma, b, n, t),
-                                  _bcast(apply, b, n, t))
+                                  _bcast(apply, b, n, t),
+                                  max_radius=max(1, int(round(3 * hi))))
         if not cropped:
             if (hs, ws) != out_hw:
                 raise ValueError('device aug without RandomResizedCrop '
@@ -333,4 +358,5 @@ def build_device_aug(transforms: Sequence[Dict], norm_cfg: Dict,
         x = (x - mean) / std
         return x.reshape(b, n, t, out_hw[0], out_hw[1], c)
 
+    fn.out_hw = out_hw  # resolved output size (a Resize in the chain wins)
     return fn
