@@ -210,3 +210,76 @@ def load_reference():
         if v is not None:
             sys.modules[k] = v
     return ns
+
+
+def load_reference_siamfc():
+    """Execute the reference SiamFC pixel-protocol modules
+    (projects/siamfc-pytorch/siamfc/{bbox_utils,image_utils,ops}.py)
+    verbatim; returns a namespace with ``.ops``."""
+    if 'siamfc' in _cache:
+        return _cache['siamfc']
+    root = os.path.join(REF_ROOT, 'projects/siamfc-pytorch/siamfc')
+    if not os.path.isdir(root):
+        raise ImportError(f'reference siamfc not found at {root}')
+    pkg = types.ModuleType('refsiam')
+    pkg.__path__ = [root]
+    sys.modules['refsiam'] = pkg
+    for name in ('bbox_utils', 'image_utils', 'ops'):
+        mod = _exec_ref_module(
+            f'refsiam.{name}',
+            f'projects/siamfc-pytorch/siamfc/{name}.py')
+        setattr(pkg, name, mod)
+    ns = types.SimpleNamespace(ops=sys.modules['refsiam.ops'])
+    _cache['siamfc'] = ns
+    return ns
+
+
+def load_reference_bmn():
+    """Execute the reference BMN localizer + temporal-IoU utilities
+    (mmaction/models/localizers/bmn.py, localization/proposal_utils.py)
+    verbatim, with builder/registry stubbed (generate_labels and the
+    interp1d sampling mask need only numpy + the constructed module)."""
+    import torch.nn as nn
+    if 'bmn' in _cache:
+        return _cache['bmn']
+    proposal_utils = _exec_ref_module('refmm.localization.proposal_utils',
+                                      'mmaction/localization/proposal_utils.py')
+    loc_pkg = types.ModuleType('refmm.localization')
+    loc_pkg.__path__ = []
+    loc_pkg.temporal_iou = proposal_utils.temporal_iou
+    loc_pkg.temporal_iop = proposal_utils.temporal_iop
+    loc_pkg.soft_nms = getattr(proposal_utils, 'soft_nms', None)
+    builder_mod = types.ModuleType('refmm.models.builder')
+    builder_mod.build_loss = lambda cfg: nn.Identity()
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    registry_mod = sys.modules.get('refmm.models.registry')
+    if registry_mod is None:
+        registry_mod = types.ModuleType('refmm.models.registry')
+        sys.modules['refmm.models.registry'] = registry_mod
+    registry_mod.LOCALIZERS = _Reg()
+    base_mod = types.ModuleType('refmm.models.localizers.base')
+
+    class BaseLocalizer(nn.Module):
+        pass
+
+    base_mod.BaseLocalizer = BaseLocalizer
+    utils_mod = types.ModuleType('refmm.models.localizers.utils')
+    utils_mod.post_processing = lambda *a, **k: None
+    sys.modules.update({
+        'refmm.localization': loc_pkg,
+        'refmm.models.builder': builder_mod,
+        'refmm.models.localizers.base': base_mod,
+        'refmm.models.localizers.utils': utils_mod,
+    })
+    bmn = _exec_ref_module('refmm.models.localizers.bmn',
+                           'mmaction/models/localizers/bmn.py')
+    bsn = _exec_ref_module('refmm.models.localizers.bsn',
+                           'mmaction/models/localizers/bsn.py')
+    ns = types.SimpleNamespace(BMN=bmn.BMN, TEM=bsn.TEM, PEM=bsn.PEM,
+                               proposal_utils=proposal_utils)
+    _cache['bmn'] = ns
+    return ns

@@ -263,3 +263,137 @@ def test_pil_nearest_interpolate_parity():
     for i in range(seg.shape[0]):
         ours = pil_nearest_resize(seg[i, 0], (10, 14))
         np.testing.assert_array_equal(ours, ref[i, 0])
+
+
+# ------------------------------------------------------------- siamfc ----
+def test_siamfc_crop_and_resize_parity():
+    """The OTB-critical sub-pixel crop protocol vs the reference's
+    non-'faster' branch (ref projects/siamfc-pytorch/siamfc/ops.py:87),
+    including out-of-bounds pads with the mean-color border."""
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__),
+                                '../projects/siamfc'))
+    from ref_loader import load_reference_siamfc
+    from siamfc_tpu.ops import crop_and_resize as ours
+    ref_ops = load_reference_siamfc().ops
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    cases = [((60.0, 80.0), 50.0), ((10.0, 10.0), 90.3),
+             ((115.5, 150.2), 64.7), ((0.0, 0.0), 30.0)]
+    for center, size in cases:
+        avg = tuple(int(round(c)) for c in img.mean(axis=(0, 1)))
+        got = ours(img, np.asarray(center), size, 33, border_value=avg)
+        want = ref_ops.crop_and_resize(img, np.asarray(center), size, 33,
+                                       border_value=avg, faster=False)
+        np.testing.assert_array_equal(got, want, err_msg=str((center, size)))
+
+
+# ---------------------------------------------------------------- bmn ----
+def test_bmn_generate_labels_parity():
+    """BMN training-label maps (confidence/start/end) vs the reference
+    BMN.generate_labels executed verbatim (ref bmn.py:281-330)."""
+    from ref_loader import load_reference_bmn
+
+    from vfs_tpu.models import build_model
+    ref = load_reference_bmn()
+    kwargs = dict(temporal_dim=20, boundary_ratio=0.5, num_samples=8,
+                  num_samples_per_bin=3, feat_dim=16, soft_nms_alpha=0.4,
+                  soft_nms_low_threshold=0.5, soft_nms_high_threshold=0.9,
+                  post_process_top_k=100)
+    ref_bmn = ref.BMN(**kwargs)
+    ours = build_model(dict(type='BMN', **kwargs))
+    rng = np.random.RandomState(12)
+    gt = []
+    for _ in range(3):
+        m = rng.randint(1, 4)
+        start = rng.uniform(0, 0.7, m)
+        gt.append(np.stack([start, start + rng.uniform(0.05, 0.3, m)],
+                           axis=1).astype(np.float32))
+    ref_conf, ref_start, ref_end = ref_bmn.generate_labels(
+        [torch.from_numpy(g) for g in gt])
+    our_conf, our_start, our_end = ours.generate_labels(gt)
+    np.testing.assert_allclose(np.asarray(our_conf),
+                               ref_conf.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(our_start),
+                               ref_start.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(our_end),
+                               ref_end.numpy(), atol=1e-6)
+
+
+def test_bmn_interp1d_sampling_mask_parity():
+    """The boundary-matching interpolation mask that drives BMN's
+    confidence map (ref bmn.py:351-400) — the heart of the model."""
+    from ref_loader import load_reference_bmn
+
+    from vfs_tpu.models.localizers.bmn import get_interp1d_mask
+    ref = load_reference_bmn()
+    kwargs = dict(temporal_dim=12, boundary_ratio=0.5, num_samples=6,
+                  num_samples_per_bin=2, feat_dim=8, soft_nms_alpha=0.4,
+                  soft_nms_low_threshold=0.5, soft_nms_high_threshold=0.9,
+                  post_process_top_k=10)
+    ref_bmn = ref.BMN(**kwargs)
+    ref_mask = ref_bmn.sample_mask.numpy()
+    our_mask = np.asarray(get_interp1d_mask(12, 6, 2, 0.5))
+    np.testing.assert_allclose(
+        our_mask.reshape(ref_mask.shape), ref_mask, atol=1e-5)
+
+
+# ------------------------------------------------------------- jhmdb ----
+def test_jhmdb_img2coord_parity():
+    """Pose-heatmap top-k soft-argmax decode vs the reference method
+    (ref jhmdb_dataset.py:118-136) run verbatim on the same heatmaps."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        'ref_jhmdb_src', '/root/reference/mmaction/datasets/jhmdb_dataset.py')
+    src = open('/root/reference/mmaction/datasets/jhmdb_dataset.py').read()
+    # execute ONLY the img2coord method body (the module imports mmcv/
+    # dataset base classes; np.float needs the pre-1.24 alias)
+    ns = {}
+    start = src.index('def img2coord')
+    end = src.index('def pck_evaluate')
+    method_src = 'import numpy as np\n' + src[start:end]
+    if not hasattr(np, 'float'):
+        np.float = float  # reference predates numpy 1.24
+    exec(method_src, ns)  # noqa: S102 - reference source under test
+    ref_img2coord = ns['img2coord']
+
+    from vfs_tpu.datasets.jhmdb_dataset import JHMDBDataset
+
+    class _Stub:
+        NUM_KEYPOINTS = 15
+
+    rng = np.random.RandomState(13)
+    heat = rng.rand(4, 15, 16, 20).astype(np.float32)
+    heat[0, 3] = 0.0  # an absent keypoint -> -1 coords
+    want = ref_img2coord(_Stub(), heat, topk=5)
+    got = JHMDBDataset.img2coord(_Stub(), heat, topk=5)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tem_generate_labels_parity():
+    """TEM action/start/end label vectors vs the reference TEM executed
+    verbatim (ref bsn.py:162-205; anchors use the DEFAULT (0,1) offsets
+    unlike BMN's (-0.5,1.5))."""
+    from ref_loader import load_reference_bmn
+
+    from vfs_tpu.models import build_model
+    ref = load_reference_bmn()
+    kwargs = dict(temporal_dim=24, boundary_ratio=0.1, tem_feat_dim=8,
+                  tem_hidden_dim=16, tem_match_threshold=0.5)
+    ref_tem = ref.TEM(**kwargs)
+    ours = build_model(dict(type='TEM', **kwargs))
+    rng = np.random.RandomState(14)
+    gt = []
+    for _ in range(3):
+        m = rng.randint(1, 4)
+        start = rng.uniform(0, 0.7, m)
+        gt.append(np.stack([start, start + rng.uniform(0.05, 0.3, m)],
+                           axis=1).astype(np.float32))
+    ra, rs, re_ = ref_tem.generate_labels(
+        [torch.from_numpy(g) for g in gt])
+    oa, os_, oe = ours.generate_labels(gt)
+    np.testing.assert_allclose(np.asarray(oa), ra.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(os_), rs.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(oe), re_.numpy(), atol=1e-6)

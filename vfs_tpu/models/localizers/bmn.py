@@ -154,8 +154,10 @@ class BMN(nn.Module):
         match_map = self.match_map
         conf_list, start_list, end_list = [], [], []
         gap = 1.0 / tscale
-        anchors_tmins = np.array([gap * i for i in range(tscale)])
-        anchors_tmaxs = anchors_tmins + gap
+        # boundary anchors span 2*gap centered on the cell (reference
+        # bmn.py:130 _temporal_anchors(-0.5, 1.5)) — NOT the bare cell
+        anchors_tmins = np.array([gap * (i - 0.5) for i in range(tscale)])
+        anchors_tmaxs = np.array([gap * (i + 1.5) for i in range(tscale)])
         for every_gt_bbox in gt_bbox:
             every_gt_bbox = np.asarray(every_gt_bbox)
             gt_iou_map = []
