@@ -283,3 +283,87 @@ def load_reference_bmn():
                                proposal_utils=proposal_utils)
     _cache['bmn'] = ns
     return ns
+
+
+def load_reference_pipelines():
+    """Execute the reference data-pipeline modules verbatim
+    (mmaction/datasets/pipelines/{loading,augmentations}.py), stubbing
+    the import-time externals this env lacks (mmcv.fileio, skimage,
+    torchvision). Returns a namespace with ``.loading`` and
+    ``.augmentations``."""
+    import numpy as np
+    if 'pipelines' in _cache:
+        return _cache['pipelines']
+    if 'mmcv' not in sys.modules:
+        sys.modules.update(_build_mmcv_stub())
+    mmcv_fileio = types.ModuleType('mmcv.fileio')
+
+    class FileClient:
+        def __init__(self, *a, **k):
+            pass
+
+        def get(self, filepath):
+            with open(filepath, 'rb') as f:
+                return f.read()
+
+    mmcv_fileio.FileClient = FileClient
+    sys.modules['mmcv.fileio'] = mmcv_fileio
+    sys.modules['mmcv'].fileio = mmcv_fileio
+
+    skimage = types.ModuleType('skimage')
+    skimage_util = types.ModuleType('skimage.util')
+
+    def view_as_windows(*a, **k):
+        raise NotImplementedError('skimage stub (unused in parity tests)')
+
+    skimage_util.view_as_windows = view_as_windows
+    skimage.util = skimage_util
+    tv = types.ModuleType('torchvision')
+    tv_t = types.ModuleType('torchvision.transforms')
+    tv_f = types.ModuleType('torchvision.transforms.functional')
+    for name in ('ColorJitter', 'RandomAffine', 'RandomResizedCrop'):
+        setattr(tv_t, name, type(name, (), {}))
+    tv_t.functional = tv_f
+    tv.transforms = tv_t
+    sys.modules.update({'skimage': skimage, 'skimage.util': skimage_util,
+                        'torchvision': tv, 'torchvision.transforms': tv_t,
+                        'torchvision.transforms.functional': tv_f})
+
+    if 'refmm' not in sys.modules:  # skeleton when load_reference not run
+        refmm = types.ModuleType('refmm')
+        refmm.__path__ = []
+        sys.modules['refmm'] = refmm
+    utils_mod = sys.modules.get('refmm.utils')
+    if utils_mod is None:
+        utils_mod = types.ModuleType('refmm.utils')
+        sys.modules['refmm.utils'] = utils_mod
+    utils_mod.get_random_string = lambda length=15: 'x' * length
+    utils_mod.get_shm_dir = lambda: '/tmp'
+    utils_mod.get_thread_id = lambda: 0
+    ds_pkg = types.ModuleType('refmm.datasets')
+    ds_pkg.__path__ = []
+    pipe_pkg = types.ModuleType('refmm.datasets.pipelines')
+    pipe_pkg.__path__ = []
+    registry_mod = types.ModuleType('refmm.datasets.registry')
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    registry_mod.PIPELINES = _Reg()
+    sys.modules.update({'refmm.datasets': ds_pkg,
+                        'refmm.datasets.pipelines': pipe_pkg,
+                        'refmm.datasets.registry': registry_mod})
+    # the reference predates numpy 1.24 (np.int / np.float aliases)
+    if not hasattr(np, 'int'):
+        np.int = int
+    if not hasattr(np, 'float'):
+        np.float = float
+    loading = _exec_ref_module('refmm.datasets.pipelines.loading',
+                               'mmaction/datasets/pipelines/loading.py')
+    augmentations = _exec_ref_module(
+        'refmm.datasets.pipelines.augmentations',
+        'mmaction/datasets/pipelines/augmentations.py')
+    ns = types.SimpleNamespace(loading=loading, augmentations=augmentations)
+    _cache['pipelines'] = ns
+    return ns

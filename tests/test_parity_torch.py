@@ -397,3 +397,71 @@ def test_tem_generate_labels_parity():
     np.testing.assert_allclose(np.asarray(oa), ra.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(os_), rs.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(oe), re_.numpy(), atol=1e-6)
+
+
+# ---------------------------------------------------------- pipelines ----
+def test_sample_frames_parity_seeded():
+    """Frame sampling defines the data protocol: our SampleFrames must
+    draw the SAME indices as the reference (ref loading.py:17-160) for
+    identical np.random/random state — train and test mode, including
+    the VFS configs' frame_interval=0 + out_of_bound 'loop'."""
+    import random as pyrandom
+
+    from ref_loader import load_reference_pipelines
+
+    from vfs_tpu.datasets.pipelines import SampleFrames as Ours
+    Ref = load_reference_pipelines().loading.SampleFrames
+    cases = [
+        dict(clip_len=1, frame_interval=0, num_clips=8,
+             out_of_bound_opt='loop'),                       # r18 config
+        dict(clip_len=1, frame_interval=0, num_clips=2,
+             out_of_bound_opt='loop'),                       # r50 config
+        dict(clip_len=8, frame_interval=2, num_clips=1),
+        dict(clip_len=4, frame_interval=1, num_clips=3,
+             out_of_bound_opt='repeat_last'),
+        dict(clip_len=2, frame_interval=3, num_clips=2,
+             temporal_jitter=True),
+        dict(clip_len=16, frame_interval=4, num_clips=1),    # short video
+    ]
+    for total in (9, 30, 100, 300):
+        for kw in cases:
+            for test_mode in (False, True):
+                ref_t = Ref(test_mode=test_mode, **kw)
+                our_t = Ours(test_mode=test_mode, **kw)
+                np.random.seed(77)
+                pyrandom.seed(77)
+                ref_out = ref_t(dict(total_frames=total, start_index=0))
+                np.random.seed(77)
+                pyrandom.seed(77)
+                our_out = our_t(dict(total_frames=total, start_index=0))
+                np.testing.assert_array_equal(
+                    our_out['frame_inds'], ref_out['frame_inds'],
+                    err_msg=f'{kw} total={total} test={test_mode}')
+                assert our_out['clip_len'] == ref_out['clip_len']
+                assert our_out['num_clips'] == ref_out['num_clips']
+
+
+def test_random_resized_crop_bbox_parity_seeded():
+    """The crop-candidate sampler (ref augmentations.py:213-262) drawn
+    with identical np.random/random state must give the same bbox —
+    including the 10-attempt rejection path and the center fallback."""
+    import random as pyrandom
+
+    from ref_loader import load_reference_pipelines
+
+    from vfs_tpu.datasets.pipelines import RandomResizedCrop as Ours
+    Ref = load_reference_pipelines().augmentations.RandomResizedCrop
+    shapes = [(240, 320), (100, 100), (50, 400)]
+    ranges = [((0.08, 1.0), (3 / 4, 4 / 3)),
+              ((0.2, 1.0), (3 / 4, 4 / 3)),
+              ((0.9, 1.0), (3.0, 3.2))]  # mostly-rejected -> fallback
+    for shape in shapes:
+        for area_range, ar_range in ranges:
+            for seed in (1, 2, 3):
+                np.random.seed(seed)
+                pyrandom.seed(seed)
+                want = Ref.get_crop_bbox(shape, area_range, ar_range)
+                np.random.seed(seed)
+                pyrandom.seed(seed)
+                got = Ours.get_crop_bbox(shape, area_range, ar_range)
+                assert tuple(got) == tuple(want), (shape, area_range, seed)

@@ -40,7 +40,11 @@ class SampleFrames:
         assert out_of_bound_opt in ('loop', 'repeat_last')
 
     def _get_train_clips(self, num_frames):
-        ori_clip_len = self.clip_len * max(self.frame_interval, 1)
+        # frame_interval=0 (the VFS configs) gives ori_clip_len=0 exactly
+        # like the reference (loading.py:85): offsets can reach
+        # num_frames and the 'loop' wrap brings them home — matching the
+        # reference's sampling distribution draw-for-draw
+        ori_clip_len = self.clip_len * self.frame_interval
         avg_interval = (num_frames - ori_clip_len + 1) // self.num_clips
         if avg_interval > 0:
             base_offsets = np.arange(self.num_clips) * avg_interval
@@ -58,7 +62,7 @@ class SampleFrames:
         return clip_offsets
 
     def _get_test_clips(self, num_frames):
-        ori_clip_len = self.clip_len * max(self.frame_interval, 1)
+        ori_clip_len = self.clip_len * self.frame_interval
         avg_interval = (num_frames - ori_clip_len + 1) / float(self.num_clips)
         if num_frames > ori_clip_len - 1:
             base_offsets = np.arange(self.num_clips) * avg_interval
