@@ -116,6 +116,40 @@ def _build_mmcv_stub():
     mmcv_runner.load_checkpoint = load_checkpoint
     mmcv_utils._BatchNorm = _BatchNorm
     mmcv.imresize = imresize
+
+    # small mmcv helpers the reference pipeline transforms use
+    def is_tuple_of(seq, expected_type):
+        return isinstance(seq, tuple) and all(
+            isinstance(s, expected_type) for s in seq)
+
+    def rescale_size(old_size, scale, return_scale=False):
+        w, h = old_size
+        if isinstance(scale, (float, int)):
+            scale_factor = scale
+        else:
+            max_long, max_short = max(scale), min(scale)
+            scale_factor = min(max_long / max(h, w),
+                               max_short / min(h, w))
+        new_size = (int(w * scale_factor + 0.5),
+                    int(h * scale_factor + 0.5))
+        return (new_size, scale_factor) if return_scale else new_size
+
+    def imnormalize_(img, mean, std, to_rgb=True):
+        assert img.dtype != np.uint8
+        mean = np.float64(mean.reshape(1, -1))
+        stdinv = 1 / np.float64(std.reshape(1, -1))
+        if to_rgb:
+            cv2.cvtColor(img, cv2.COLOR_BGR2RGB, img)
+        cv2.subtract(img, mean, img)
+        cv2.multiply(img, stdinv, img)
+        return img
+
+    mmcv.is_tuple_of = is_tuple_of
+    mmcv.rescale_size = rescale_size
+    mmcv.imnormalize_ = imnormalize_
+    mmcv.rgb2gray = lambda img, keepdim=False: (
+        cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None] if keepdim
+        else cv2.cvtColor(img, cv2.COLOR_RGB2GRAY))
     mmcv.cnn = mmcv_cnn
     mmcv.runner = mmcv_runner
     mmcv.utils = mmcv_utils

@@ -465,3 +465,96 @@ def test_random_resized_crop_bbox_parity_seeded():
                 pyrandom.seed(seed)
                 got = Ours.get_crop_bbox(shape, area_range, ar_range)
                 assert tuple(got) == tuple(want), (shape, area_range, seed)
+
+
+def test_more_samplers_parity_seeded():
+    """Dense/Untrimmed samplers vs the reference (ref loading.py:294,
+    343) under identical seeds."""
+    import random as pyrandom
+
+    from ref_loader import load_reference_pipelines
+
+    from vfs_tpu.datasets.pipelines.loading import (DenseSampleFrames,
+                                                    UntrimmedSampleFrames)
+    ref = load_reference_pipelines().loading
+    for total in (40, 150, 400):
+        for test_mode in (False, True):
+            r = ref.DenseSampleFrames(clip_len=4, frame_interval=1,
+                                      num_clips=2, test_mode=test_mode)
+            o = DenseSampleFrames(clip_len=4, frame_interval=1,
+                                  num_clips=2, test_mode=test_mode)
+            np.random.seed(5)
+            pyrandom.seed(5)
+            want = r(dict(total_frames=total, start_index=0))['frame_inds']
+            np.random.seed(5)
+            pyrandom.seed(5)
+            got = o(dict(total_frames=total, start_index=0))['frame_inds']
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f'dense {total}')
+        r = ref.UntrimmedSampleFrames(clip_len=2, frame_interval=16)
+        o = UntrimmedSampleFrames(clip_len=2, frame_interval=16)
+        want = r(dict(total_frames=total, start_index=0))['frame_inds']
+        got = o(dict(total_frames=total, start_index=0))['frame_inds']
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f'untrimmed {total}')
+
+
+def test_deterministic_crops_parity():
+    """CenterCrop / ThreeCrop / TenCrop (deterministic given the flip)
+    pixel-for-pixel vs the reference (ref augmentations.py:798-1006)."""
+    from ref_loader import load_reference_pipelines
+    ref = load_reference_pipelines().augmentations
+    import vfs_tpu.datasets.pipelines as ours
+    rng = np.random.RandomState(15)
+
+    def run(cls, hw, **kw):
+        imgs = [rng.randint(0, 255, hw + (3,), np.uint8)
+                for _ in range(4)]
+        res = dict(imgs=[im.copy() for im in imgs],
+                   img_shape=hw, clip_len=4, num_clips=1,
+                   modality='RGB')
+        return cls(**kw)(res)['imgs']
+
+    # ThreeCrop requires one side == crop_size (reference assert :898)
+    for name, hw, kw in [('CenterCrop', (60, 80), dict(crop_size=48)),
+                         ('ThreeCrop', (48, 80), dict(crop_size=48)),
+                         ('TenCrop', (60, 80), dict(crop_size=48))]:
+        rng = np.random.RandomState(15)
+        want = run(getattr(ref, name), hw, **kw)
+        rng = np.random.RandomState(15)
+        got = run(getattr(ours, name), hw, **kw)
+        assert len(got) == len(want), name
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_multiscale_crop_parity_seeded():
+    """MultiScaleCrop (ref augmentations.py:338-487) under identical
+    seeds: same scale choice, same offsets, same pixels."""
+    import random as pyrandom
+
+    from ref_loader import load_reference_pipelines
+    ref = load_reference_pipelines().augmentations
+    from vfs_tpu.datasets.pipelines import MultiScaleCrop as Ours
+    rng = np.random.RandomState(16)
+    imgs = [rng.randint(0, 255, (60, 80, 3), np.uint8) for _ in range(3)]
+    for seed in (1, 2, 3, 4):
+        for fix in (True, False):
+            kw = dict(input_size=32, scales=(1, 0.875, 0.75, 0.66),
+                      random_crop=False, max_wh_scale_gap=1,
+                      num_fixed_crops=13 if fix else 5)
+            res = dict(imgs=[im.copy() for im in imgs],
+                       img_shape=imgs[0].shape[:2], clip_len=3,
+                       num_clips=1, modality='RGB')
+            np.random.seed(seed)
+            pyrandom.seed(seed)
+            want = ref.MultiScaleCrop(**kw)(dict(res))['imgs']
+            res = dict(imgs=[im.copy() for im in imgs],
+                       img_shape=imgs[0].shape[:2], clip_len=3,
+                       num_clips=1, modality='RGB')
+            np.random.seed(seed)
+            pyrandom.seed(seed)
+            got = Ours(**kw)(res)['imgs']
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(a, b,
+                                              err_msg=f'{seed} {fix}')

@@ -393,6 +393,7 @@ class MultiScaleCrop:
         self.num_fixed_crops = num_fixed_crops
 
     def __call__(self, results):
+        import random
         img_h, img_w = results['img_shape']
         base_size = min(img_h, img_w)
         crop_sizes = [int(base_size * s) for s in self.scales]
@@ -400,11 +401,17 @@ class MultiScaleCrop:
         for i, h in enumerate(crop_sizes):
             for j, w in enumerate(crop_sizes):
                 if abs(i - j) <= self.max_wh_scale_gap:
-                    candidates.append((w, h))
-        crop_w, crop_h = candidates[np.random.randint(len(candidates))]
+                    candidates.append([w, h])
+        # reference draw order + the snap-to-input within 3px
+        # (augmentations.py:409-413); parity-tested draw-for-draw
+        crop_size = random.choice(candidates)
+        for i in range(2):
+            if abs(crop_size[i] - self.input_size[i]) < 3:
+                crop_size[i] = self.input_size[i]
+        crop_w, crop_h = crop_size
         if self.random_crop:
-            x_offset = np.random.randint(0, img_w - crop_w + 1)
-            y_offset = np.random.randint(0, img_h - crop_h + 1)
+            x_offset = random.randint(0, img_w - crop_w)
+            y_offset = random.randint(0, img_h - crop_h)
         else:
             w_step = (img_w - crop_w) // 4
             h_step = (img_h - crop_h) // 4
@@ -417,7 +424,7 @@ class MultiScaleCrop:
                               (3 * w_step, 1 * h_step),
                               (1 * w_step, 3 * h_step),
                               (3 * w_step, 3 * h_step)]
-            x_offset, y_offset = positions[np.random.randint(len(positions))]
+            x_offset, y_offset = random.choice(positions)
         results['imgs'] = [
             img[y_offset:y_offset + crop_h, x_offset:x_offset + crop_w]
             for img in results['imgs']

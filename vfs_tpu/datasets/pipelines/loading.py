@@ -413,15 +413,16 @@ class UntrimmedSampleFrames:
     """Evenly spaced clips over an untrimmed video (reference
     loading.py:294-342)."""
 
-    def __init__(self, clip_len=1, frame_interval=16, start_index=None):
+    def __init__(self, clip_len=1, frame_interval=16, start_index=1):
+        # unlike SampleFrames, the reference kept start_index a TRANSFORM
+        # arg here, default 1 (loading.py:317) — not the dataset's value
         self.clip_len = clip_len
         self.frame_interval = frame_interval
         self.start_index = start_index
 
     def __call__(self, results):
         total_frames = results['total_frames']
-        start_index = self.start_index if self.start_index is not None \
-            else results.get('start_index', 0)
+        start_index = self.start_index
         clip_centers = np.arange(self.frame_interval // 2, total_frames,
                                  self.frame_interval)
         num_clips = clip_centers.shape[0]
