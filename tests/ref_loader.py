@@ -144,6 +144,10 @@ def _build_mmcv_stub():
         cv2.multiply(img, stdinv, img)
         return img
 
+    def imflip_(img, direction='horizontal'):
+        return cv2.flip(img, 1 if direction == 'horizontal' else 0, img)
+
+    mmcv.imflip_ = imflip_
     mmcv.is_tuple_of = is_tuple_of
     mmcv.rescale_size = rescale_size
     mmcv.imnormalize_ = imnormalize_

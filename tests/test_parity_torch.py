@@ -558,3 +558,132 @@ def test_multiscale_crop_parity_seeded():
             for a, b in zip(got, want):
                 np.testing.assert_array_equal(a, b,
                                               err_msg=f'{seed} {fix}')
+
+
+def test_vfs_same_on_clip_gating_parity_seeded():
+    """The VFS per-frame re-randomization extension (ref
+    augmentations.py:263-309 for RandomResizedCrop, :621-664 for Flip):
+    full __call__ parity under identical seeds for every flag combo,
+    including partial pinning via same_clip_indices."""
+    import random as pyrandom
+
+    from ref_loader import load_reference_pipelines
+    ref = load_reference_pipelines().augmentations
+    import vfs_tpu.datasets.pipelines as ours
+    rng = np.random.RandomState(17)
+    base_imgs = [rng.randint(0, 255, (60, 80, 3), np.uint8)
+                 for _ in range(8)]
+
+    combos = [dict(same_on_clip=False, same_across_clip=False),
+              dict(same_on_clip=True, same_across_clip=False),
+              dict(same_on_clip=True, same_across_clip=True),
+              dict(same_on_clip=False, same_across_clip=False,
+                   same_clip_indices=(0,))]
+    for combo in combos:
+        for cls_name, kw in [
+                ('RandomResizedCrop', dict(area_range=(0.3, 1.0))),
+                ('Flip', dict(flip_ratio=0.5))]:
+            if cls_name == 'Flip' and 'same_clip_indices' in combo:
+                # intentional deviation: the reference Flip gates
+                # same_clip_indices on i % num_clips (augmentations.py
+                # :668, inconsistent with every other transform's
+                # i // clip_len); we use i // clip_len uniformly
+                continue
+            def res():
+                return dict(imgs=[im.copy() for im in base_imgs],
+                            img_shape=(60, 80), clip_len=4, num_clips=2,
+                            modality='RGB')
+            np.random.seed(23)
+            pyrandom.seed(23)
+            want = getattr(ref, cls_name)(**kw, **combo)(res())
+            np.random.seed(23)
+            pyrandom.seed(23)
+            got = getattr(ours, cls_name)(**kw, **combo)(res())
+            for i, (a, b) in enumerate(zip(got['imgs'], want['imgs'])):
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f'{cls_name} {combo} frame {i}')
+
+
+def test_sample_proposal_frames_parity_seeded(tmp_path):
+    """SSN's proposal-staged frame sampler (ref loading.py:455-695) vs
+    ours, driven by real SSNDataset proposal structures, train/val/test
+    modes, identical seeds."""
+    import random as pyrandom
+
+    from ref_loader import load_reference_pipelines
+
+    from test_data.test_ssn import TEST_CFG, TRAIN_CFG, make_proposal_file
+    from vfs_tpu.datasets import build_dataset
+    from vfs_tpu.datasets.pipelines.loading import \
+        SampleProposalFrames as Ours
+    Ref = load_reference_pipelines().loading.SampleProposalFrames
+
+    ann = str(tmp_path / 'proposals.txt')
+    make_proposal_file(ann)
+    ds = build_dataset(dict(
+        type='SSNDataset', ann_file=ann, pipeline=[],
+        train_cfg=TRAIN_CFG, test_cfg=TEST_CFG, data_prefix=str(tmp_path),
+        body_segments=5, aug_segments=(2, 2), aug_ratio=0.5,
+        filename_tmpl='img_{:05d}.jpg'))
+    np.random.seed(31)
+    base = ds.prepare_train_frames(0)
+    kw = dict(clip_len=1, body_segments=5, aug_segments=(2, 2),
+              aug_ratio=0.5)
+    for mode in ('train', 'val'):
+        r = Ref(**kw, mode=mode)
+        o = Ours(**kw, mode=mode)
+        np.random.seed(41)
+        pyrandom.seed(41)
+        want = r(dict(base))['frame_inds']
+        np.random.seed(41)
+        pyrandom.seed(41)
+        got = o(dict(base))['frame_inds']
+        np.testing.assert_array_equal(got, want, err_msg=mode)
+
+
+def test_accuracy_metrics_parity():
+    """Recognition/proposal metrics vs the reference accuracy module
+    executed verbatim (ref core/evaluation/accuracy.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        'ref_accuracy', '/root/reference/mmaction/core/evaluation/accuracy.py')
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    import vfs_tpu.core.evaluation.accuracy as ours
+    import vfs_tpu.core.evaluation.proposal as ours_prop
+
+    rng = np.random.RandomState(18)
+    scores = [rng.rand(11).astype(np.float64) for _ in range(40)]
+    labels = list(rng.randint(0, 11, 40))
+    assert ours.top_k_accuracy(scores, labels, (1, 3, 5)) == pytest.approx(
+        ref.top_k_accuracy(scores, labels, (1, 3, 5)))
+    assert ours.mean_class_accuracy(scores, labels) == pytest.approx(
+        ref.mean_class_accuracy(scores, labels))
+    cm_ref = ref.confusion_matrix(list(rng.randint(0, 5, 30)),
+                                  list(rng.randint(0, 5, 30)))
+    rng = np.random.RandomState(18)
+    _ = [rng.rand(11) for _ in range(40)]
+    _ = rng.randint(0, 11, 40)
+    y_pred = list(rng.randint(0, 5, 30))
+    y_real = list(rng.randint(0, 5, 30))
+    np.testing.assert_array_equal(ours.confusion_matrix(y_pred, y_real),
+                                  ref.confusion_matrix(y_pred, y_real))
+
+    # temporal IoU + AR@AN on a synthetic proposal problem
+    cand = np.sort(rng.rand(12, 2) * 100, axis=1)
+    targ = np.sort(rng.rand(5, 2) * 100, axis=1)
+    np.testing.assert_allclose(
+        ours_prop.pairwise_temporal_iou(cand, targ),
+        ref.pairwise_temporal_iou(cand, targ), atol=1e-8)
+    gt = {f'v{i}': np.sort(rng.rand(3, 2) * 100, axis=1)
+          for i in range(6)}
+    props = {k: np.concatenate(
+        [np.sort(rng.rand(20, 2) * 100, axis=1),
+         rng.rand(20, 1)], axis=1) for k in gt}
+    total = sum(len(v) for v in props.values())
+    want = ref.average_recall_at_avg_proposals(gt, props, total)
+    got = ours_prop.average_recall_at_avg_proposals(gt, props, total)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)

@@ -50,7 +50,15 @@ def _pil_nearest_imresize(img, size_wh):
 
 def _should_generate_new(i, results, same_on_clip, same_across_clip,
                          same_clip_indices, same_frame_indices):
-    """Per-frame re-randomization gate (reference augmentations.py:285-300)."""
+    """Per-frame re-randomization gate (reference augmentations.py:285-300).
+
+    Called for EVERY frame including i=0: with same_on_clip=False the
+    reference discards its pre-loop draw and re-draws for frame 0, so the
+    RNG stream only lines up draw-for-draw if we do the same (locked by
+    tests/test_parity_torch.py::test_vfs_same_on_clip_gating_parity).
+    Deviation kept: the reference Flip gates same_clip_indices on
+    ``i % num_clips`` (augmentations.py:668) while every other transform
+    uses ``i // clip_len`` — we use the latter consistently."""
     clip_len = results['clip_len']
     is_new_clip = (not same_across_clip) and i % clip_len == 0 and i > 0
     generate_new = (not same_on_clip) or is_new_clip
@@ -108,7 +116,7 @@ class RandomResizedCrop:
         bbox = self.get_crop_bbox((img_h, img_w), self.area_range,
                                   self.aspect_ratio_range)
         for i, img in enumerate(results['imgs']):
-            if i > 0 and _should_generate_new(
+            if _should_generate_new(
                     i, results, self.same_on_clip, self.same_across_clip,
                     self.same_clip_indices, self.same_frame_indices):
                 bbox = self.get_crop_bbox((img_h, img_w), self.area_range,
@@ -207,7 +215,7 @@ class Flip:
         results['flip_direction'] = self.direction
         axis = 1 if self.direction == 'horizontal' else 0
         for i in range(len(results['imgs'])):
-            if i > 0 and _should_generate_new(
+            if _should_generate_new(
                     i, results, self.same_on_clip, self.same_across_clip,
                     self.same_clip_indices, self.same_frame_indices):
                 flip = np.random.rand() < self.flip_ratio
@@ -294,7 +302,7 @@ class ColorJitter:
     def __call__(self, results):
         params = self._sample()
         for i in range(len(results['imgs'])):
-            if i > 0 and _should_generate_new(
+            if _should_generate_new(
                     i, results, self.same_on_clip, self.same_across_clip,
                     None, None):
                 params = self._sample()
@@ -315,7 +323,7 @@ class RandomGrayScale:
         import cv2
         gray = np.random.rand() < self.p
         for i in range(len(results['imgs'])):
-            if i > 0 and _should_generate_new(
+            if _should_generate_new(
                     i, results, self.same_on_clip, self.same_across_clip,
                     None, None):
                 gray = np.random.rand() < self.p
@@ -345,7 +353,7 @@ class RandomGaussianBlur:
             return np.random.uniform(*self.sigma_range)
         sigma = sample()
         for i in range(len(results['imgs'])):
-            if i > 0 and _should_generate_new(
+            if _should_generate_new(
                     i, results, self.same_on_clip, self.same_across_clip,
                     None, None):
                 sigma = sample()
@@ -681,7 +689,7 @@ class RandomAffine:
         h, w = results['imgs'][0].shape[:2]
         mat = self._sample(h, w)
         for i, img in enumerate(results['imgs']):
-            if i > 0 and _should_generate_new(
+            if _should_generate_new(
                     i, results, self.same_on_clip, self.same_across_clip,
                     None, None):
                 mat = self._sample(h, w)
@@ -711,7 +719,7 @@ class RandomChoiceRotate:
         labels = []
         choice = self._sample()
         for i, img in enumerate(results['imgs']):
-            if i > 0 and _should_generate_new(
+            if _should_generate_new(
                     i, results, self.same_on_clip, self.same_across_clip,
                     None, None):
                 choice = self._sample()
