@@ -405,3 +405,76 @@ def load_reference_pipelines():
     ns = types.SimpleNamespace(loading=loading, augmentations=augmentations)
     _cache['pipelines'] = ns
     return ns
+
+
+def load_reference_simsiam():
+    """Execute the reference SimSiam head + CosineSimLoss verbatim
+    (mmaction/models/heads/sim_siam_head.py, losses/sim_loss.py) —
+    the VFS pretraining objective."""
+    import torch.nn as nn
+    if 'simsiam' in _cache:
+        return _cache['simsiam']
+    if 'mmcv' not in sys.modules:
+        sys.modules.update(_build_mmcv_stub())
+    mmcv_cnn = sys.modules['mmcv.cnn']
+
+    def build_norm_layer(cfg, num_features):
+        t = cfg['type']
+        if t in ('BN', 'SyncBN'):
+            return 'bn', nn.BatchNorm2d(num_features)
+        raise ValueError(t)
+
+    mmcv_cnn.build_norm_layer = getattr(mmcv_cnn, 'build_norm_layer',
+                                        build_norm_layer)
+    mmcv_cnn.build_plugin_layer = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError('plugin layers unused'))
+
+    if 'refmm' not in sys.modules:
+        refmm = types.ModuleType('refmm')
+        refmm.__path__ = []
+        sys.modules['refmm'] = refmm
+    models_pkg = sys.modules.get('refmm.models')
+    if models_pkg is None:
+        models_pkg = types.ModuleType('refmm.models')
+        models_pkg.__path__ = []
+        sys.modules['refmm.models'] = models_pkg
+    registry_mod = sys.modules.get('refmm.models.registry')
+    if registry_mod is None:
+        registry_mod = types.ModuleType('refmm.models.registry')
+        sys.modules['refmm.models.registry'] = registry_mod
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    for name in ('LOSSES', 'HEADS'):
+        if not hasattr(registry_mod, name):
+            setattr(registry_mod, name, _Reg())
+    losses_pkg = types.ModuleType('refmm.models.losses')
+    losses_pkg.__path__ = []
+    sys.modules['refmm.models.losses'] = losses_pkg
+    _exec_ref_module('refmm.models.losses.base',
+                     'mmaction/models/losses/base.py')
+    sim_loss = _exec_ref_module('refmm.models.losses.sim_loss',
+                                'mmaction/models/losses/sim_loss.py')
+
+    builder_mod = sys.modules.get('refmm.models.builder')
+    if builder_mod is None:
+        builder_mod = types.ModuleType('refmm.models.builder')
+        sys.modules['refmm.models.builder'] = builder_mod
+
+    def build_loss(cfg):
+        cfg = dict(cfg)
+        return getattr(sim_loss, cfg.pop('type'))(**cfg)
+
+    builder_mod.build_loss = build_loss
+    builder_mod.build_drop_layer = lambda cfg: nn.Identity()
+    heads_pkg = types.ModuleType('refmm.models.heads')
+    heads_pkg.__path__ = []
+    sys.modules['refmm.models.heads'] = heads_pkg
+    head_mod = _exec_ref_module('refmm.models.heads.sim_siam_head',
+                                'mmaction/models/heads/sim_siam_head.py')
+    ns = types.SimpleNamespace(SimSiamHead=head_mod.SimSiamHead,
+                               CosineSimLoss=sim_loss.CosineSimLoss)
+    _cache['simsiam'] = ns
+    return ns

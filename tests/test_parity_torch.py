@@ -687,3 +687,73 @@ def test_accuracy_metrics_parity():
     got = ours_prop.average_recall_at_avg_proposals(gt, props, total)
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+
+
+def test_simsiam_head_and_loss_parity():
+    """The VFS pretraining objective: reference SimSiamHead forward
+    (projection + predictor MLPs with BN) and the stop-grad symmetric
+    CosineSimLoss, executed verbatim with weights bridged into our flax
+    head — z, p, and the loss must agree (ref heads/sim_siam_head.py,
+    losses/sim_loss.py)."""
+    from ref_loader import load_reference_simsiam
+
+    from vfs_tpu.models.heads.sim_siam_head import SimSiamHead
+
+    ns = load_reference_simsiam()
+    C, MID, PRED = 32, 24, 12
+    kwargs = dict(in_channels=C, num_projection_fcs=3,
+                  projection_mid_channels=MID, projection_out_channels=MID,
+                  num_predictor_fcs=2, predictor_mid_channels=PRED,
+                  predictor_out_channels=MID, with_norm=True,
+                  loss_feat=dict(type='CosineSimLoss', negative=False),
+                  spatial_type='avg')
+    torch.manual_seed(0)
+    ref_head = ns.SimSiamHead(**kwargs).eval()
+
+    ours = SimSiamHead(norm_cfg=dict(type='SyncBN'), **kwargs)
+    import jax
+    v = ours.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, 7, C)),
+                  train=False)
+    params = jax.tree.map(np.asarray, v['params'])
+    stats = jax.tree.map(np.asarray, v['batch_stats'])
+    sd = {k: t.detach().numpy() for k, t in ref_head.state_dict().items()}
+
+    def fill(prefix, lin_idx, bn_idx, tree_key):
+        params[tree_key]['fc']['kernel'] = sd[f'{prefix}.{lin_idx}.weight'].T
+        params[tree_key]['fc']['bias'] = sd[f'{prefix}.{lin_idx}.bias']
+        if bn_idx is not None:
+            params[tree_key]['bn']['scale'] = sd[f'{prefix}.{bn_idx}.weight']
+            params[tree_key]['bn']['bias'] = sd[f'{prefix}.{bn_idx}.bias']
+            stats[tree_key]['bn']['mean'] = \
+                sd[f'{prefix}.{bn_idx}.running_mean']
+            stats[tree_key]['bn']['var'] = \
+                sd[f'{prefix}.{bn_idx}.running_var']
+
+    fill('projection_fcs', 0, 1, 'projection_fc0')
+    fill('projection_fcs', 3, 4, 'projection_fc1')
+    fill('projection_fcs', 6, 7, 'projection_fc2')
+    fill('predictor_fcs', 0, 1, 'predictor_fc0')
+    fill('predictor_fcs', 3, None, 'predictor_fc1')
+
+    x = _rand(2, C, 7, 7, seed=30)
+    with torch.no_grad():
+        z_ref, p_ref = ref_head(torch.from_numpy(x))
+    z, p = ours.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p), p_ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    # symmetric stop-grad loss on two views
+    x2 = _rand(2, C, 7, 7, seed=31)
+    with torch.no_grad():
+        z2_ref, p2_ref = ref_head(torch.from_numpy(x2))
+        ref_loss = ref_head.loss(p_ref, z_ref, p2_ref, z2_ref)[
+            'loss_feat'].mean().item()
+    z2, p2 = ours.apply({'params': params, 'batch_stats': stats},
+                        jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
+    our_loss = float(np.mean(np.asarray(ours.apply(
+        {'params': params, 'batch_stats': stats}, p, z, p2, z2,
+        method=SimSiamHead.loss)['loss_feat'])))
+    assert our_loss == pytest.approx(ref_loss, abs=1e-5)
