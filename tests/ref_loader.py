@@ -478,3 +478,92 @@ def load_reference_simsiam():
                                CosineSimLoss=sim_loss.CosineSimLoss)
     _cache['simsiam'] = ns
     return ns
+
+
+def load_reference_siamfc_tracker():
+    """Execute the reference TrackerSiamFC verbatim (projects/
+    siamfc-pytorch/siamfc/siamfc_tracker_base.py): the full OTB tracking
+    protocol — exemplar/search crops, xcorr response, bicubic upsample,
+    scale penalties, hann window, box update. got10k/mmaction/mmcv
+    externals are stubbed; the VFS ResNet backbone is the reference's
+    own (load_reference().resnet)."""
+    import torch
+    if 'siamfc_tracker' in _cache:
+        return _cache['siamfc_tracker']
+    ref = load_reference()               # provides the reference ResNet
+    load_reference_siamfc()              # refsiam.{ops,bbox,image}
+    load_reference_pipelines()           # installs the torchvision stub
+
+    # functional torchvision.Normalize (the pipelines stub's empty class
+    # would break the tracker's crop preprocessing)
+    tv_t = sys.modules['torchvision.transforms']
+
+    class _TVNormalize:
+        def __init__(self, mean, std):
+            self.mean = mean
+            self.std = std
+
+        def __call__(self, t):
+            m = torch.tensor(self.mean).view(-1, 1, 1).to(t)
+            s = torch.tensor(self.std).view(-1, 1, 1).to(t)
+            return (t - m) / s
+
+    tv_t.Normalize = _TVNormalize
+
+    got10k = types.ModuleType('got10k')
+    got10k_trackers = types.ModuleType('got10k.trackers')
+
+    class Tracker:
+        def __init__(self, name, is_deterministic=False):
+            self.name = name
+            self.is_deterministic = is_deterministic
+
+    got10k_trackers.Tracker = Tracker
+    got10k.trackers = got10k_trackers
+    sys.modules.update({'got10k': got10k,
+                        'got10k.trackers': got10k_trackers})
+
+    mmcv_parallel = types.ModuleType('mmcv.parallel')
+    mmcv_parallel.is_module_wrapper = lambda m: False
+    sys.modules['mmcv.parallel'] = mmcv_parallel
+    sys.modules['mmcv'].parallel = mmcv_parallel
+    runner = sys.modules['mmcv.runner']
+    if not hasattr(runner, 'save_checkpoint'):
+        runner.save_checkpoint = lambda *a, **k: None
+
+    mmaction = types.ModuleType('mmaction')
+    mmaction_models = types.ModuleType('mmaction.models')
+    mmaction_models.ResNet = ref.resnet.ResNet
+
+    def build_backbone(cfg):
+        cfg = dict(cfg)
+        cfg.pop('type', None)
+        return ref.resnet.ResNet(**cfg)
+
+    mmaction_models.build_backbone = build_backbone
+    mmaction_utils = types.ModuleType('mmaction.utils')
+    mmaction_utils.terminal_is_available = lambda: False
+    mmaction.models = mmaction_models
+    mmaction.utils = mmaction_utils
+    sys.modules.update({'mmaction': mmaction,
+                        'mmaction.models': mmaction_models,
+                        'mmaction.utils': mmaction_utils})
+    # mmcv.Config for the attr-style cfg the tracker expects
+    mmcv_mod = sys.modules['mmcv']
+    if not hasattr(mmcv_mod, 'Config'):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        from vfs_tpu.utils import Config as _Cfg
+        mmcv_mod.Config = _Cfg
+
+    for name in ('backbones', 'datasets', 'heads', 'losses', 'transforms',
+                 'siamfc_tracker_base'):
+        mod = _exec_ref_module(
+            f'refsiam.{name}',
+            f'projects/siamfc-pytorch/siamfc/{name}.py')
+        setattr(sys.modules['refsiam'], name, mod)
+    tb = sys.modules['refsiam.siamfc_tracker_base']
+    ns = types.SimpleNamespace(TrackerSiamFC=tb.TrackerSiamFC,
+                               heads=sys.modules['refsiam.heads'])
+    _cache['siamfc_tracker'] = ns
+    return ns

@@ -757,3 +757,67 @@ def test_simsiam_head_and_loss_parity():
         {'params': params, 'batch_stats': stats}, p, z, p2, z2,
         method=SimSiamHead.loss)['loss_feat'])))
     assert our_loss == pytest.approx(ref_loss, abs=1e-5)
+
+
+def test_siamfc_tracker_step_parity(tmp_path):
+    """The full OTB tracking step vs the reference TrackerSiamFC executed
+    verbatim (ref siamfc_tracker_base.py:200-320): same fabricated r18
+    weights through both checkpoint loaders, same frames — init() and
+    three update() boxes must agree (exemplar/search crops, xcorr,
+    bicubic response upsample, scale penalty, hann blend, box update)."""
+    import logging
+    import os.path as osp
+    import sys
+
+    from ref_loader import load_reference_siamfc_tracker
+    sys.path.insert(0, osp.join(osp.dirname(__file__),
+                                '../projects/siamfc'))
+    from siamfc_tpu import TrackerSiamFC as OursTracker
+
+    from vfs_tpu.utils import Config
+
+    ref_ns = load_reference_siamfc_tracker()
+    sd = _fabricated_tv_state_dict(18)
+    pth = str(tmp_path / 'r18.pth')
+    torch.save(sd, pth)
+
+    base = dict(out_scale=0.001, exemplar_sz=120, instance_sz=255,
+                context=0.5, scale_num=3, scale_step=1.0375, scale_lr=0.59,
+                scale_penalty=0.9745, window_influence=0.176,
+                response_sz=17, response_up=16, total_stride=8,
+                epoch_num=1, batch_size=2, num_workers=0, initial_lr=1e-3,
+                ultimate_lr=1e-5, weight_decay=5e-4, momentum=0.9,
+                r_pos=16, r_neg=0, pairs_per_seq=1, optimizer='SGD',
+                loss='focal', lr_schedule='exp', lr_step_size=10,
+                extra_conv=False, out_channels=512, reduction=1,
+                auto_resume=False, force_wd=False,
+                out_block_index=None, checkpoint=None)
+    bb = dict(depth=18, frozen_stages=4, dilations=(1, 1, 2, 4),
+              strides=(1, 2, 1, 1), out_indices=(3,), with_cp=False,
+              norm_eval=True)
+    ref_cfg = Config(dict(base, model=dict(backbone=dict(
+        bb, pretrained=pth, torchvision_pretrain=True))))
+    ref_tracker = ref_ns.TrackerSiamFC(ref_cfg, logging.getLogger('ref'))
+
+    ours = OursTracker(dict(base, model=dict(backbone=dict(
+        bb, type='ResNet'))))
+    ours.init_weights(pretrained=pth)
+
+    # moving bright square on textured background
+    rng = np.random.RandomState(33)
+    bg = rng.randint(0, 120, (240, 320, 3), np.uint8)
+    frames = []
+    for t in range(4):
+        img = bg.copy()
+        y, x = 100 + 3 * t, 140 + 4 * t
+        img[y:y + 40, x:x + 40] = [220, 60, 60]
+        frames.append(img)
+    box0 = np.array([141.0, 101.0, 40.0, 40.0])  # 1-indexed ltwh
+
+    ref_tracker.init(frames[0], box0.copy())
+    ours.init(frames[0], box0.copy())
+    for t in range(1, 4):
+        ref_box = ref_tracker.update(frames[t])
+        our_box = ours.update(frames[t])
+        np.testing.assert_allclose(our_box, ref_box, atol=1.0,
+                                   err_msg=f'frame {t}')
