@@ -567,3 +567,56 @@ def load_reference_siamfc_tracker():
                                heads=sys.modules['refsiam.heads'])
     _cache['siamfc_tracker'] = ns
     return ns
+
+
+def load_reference_tracker():
+    """Execute the reference VanillaTracker verbatim (mmaction/models/
+    trackers/{base,vanilla_tracker}.py) — the complete DAVIS label-
+    propagation protocol on top of the already-loaded reference ResNet,
+    masked attention, and spatial_neighbor."""
+    if 'tracker' in _cache:
+        return _cache['tracker']
+    ref = load_reference()
+    common_pkg = sys.modules['refmm.models.common']
+    for mod, names in ((ref.local_attention,
+                        ('masked_attention_efficient',)),
+                       (ref.affinity_utils, ('spatial_neighbor',))):
+        for n in names:
+            setattr(common_pkg, n, getattr(mod, n))
+    runner = sys.modules['mmcv.runner']
+    if not hasattr(runner, 'auto_fp16'):
+        runner.auto_fp16 = lambda *a, **k: (lambda f: f)
+    builder_mod = sys.modules.get('refmm.models.builder')
+    if builder_mod is None:
+        builder_mod = types.ModuleType('refmm.models.builder')
+        sys.modules['refmm.models.builder'] = builder_mod
+
+    def build_backbone(cfg):
+        cfg = dict(cfg)
+        cfg.pop('type', None)
+        return ref.resnet.ResNet(**cfg)
+
+    builder_mod.build_backbone = build_backbone
+    models_pkg = sys.modules['refmm.models']
+    models_pkg.builder = builder_mod
+    registry_mod = sys.modules['refmm.models.registry']
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    if not hasattr(registry_mod, 'TRACKERS'):
+        registry_mod.TRACKERS = _Reg()
+    trackers_pkg = types.ModuleType('refmm.models.trackers')
+    trackers_pkg.__path__ = []
+    sys.modules['refmm.models.trackers'] = trackers_pkg
+    # backbones package already holds the exec'd resnet; vanilla_tracker
+    # does `from ..backbones import ResNet`
+    sys.modules['refmm.models.backbones'].ResNet = ref.resnet.ResNet
+    _exec_ref_module('refmm.models.trackers.base',
+                     'mmaction/models/trackers/base.py')
+    vt = _exec_ref_module('refmm.models.trackers.vanilla_tracker',
+                          'mmaction/models/trackers/vanilla_tracker.py')
+    ns = types.SimpleNamespace(VanillaTracker=vt.VanillaTracker)
+    _cache['tracker'] = ns
+    return ns
