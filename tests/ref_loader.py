@@ -620,3 +620,42 @@ def load_reference_tracker():
     ns = types.SimpleNamespace(VanillaTracker=vt.VanillaTracker)
     _cache['tracker'] = ns
     return ns
+
+
+def load_reference_simsiam_tracker():
+    """Execute the reference SimSiamBaseTracker verbatim
+    (mmaction/models/trackers/sim_siam_base_tracker.py) — the complete
+    pretraining step: two-view backbone forward, projection/prediction
+    head, stop-grad symmetric loss, intra-video temporal rolls."""
+    if 'simsiam_tracker' in _cache:
+        return _cache['simsiam_tracker']
+    load_reference_tracker()             # base + vanilla + builder
+    simsiam = load_reference_simsiam()   # SimSiamHead + CosineSimLoss
+    builder_mod = sys.modules['refmm.models.builder']
+
+    def build_head(cfg):
+        cfg = dict(cfg)
+        cfg.pop('type', None)
+        return simsiam.SimSiamHead(**cfg)
+
+    builder_mod.build_head = build_head
+    # sim_siam_base_tracker imports mmaction.utils.add_prefix absolutely
+    mmaction = sys.modules.get('mmaction')
+    if mmaction is None:
+        mmaction = types.ModuleType('mmaction')
+        sys.modules['mmaction'] = mmaction
+    utils_mod = getattr(mmaction, 'utils', None)
+    if utils_mod is None:
+        utils_mod = types.ModuleType('mmaction.utils')
+        mmaction.utils = utils_mod
+        sys.modules['mmaction.utils'] = utils_mod
+
+    def add_prefix(inputs, prefix):
+        return {f'{prefix}.{k}': v for k, v in inputs.items()}
+
+    utils_mod.add_prefix = add_prefix
+    st = _exec_ref_module('refmm.models.trackers.sim_siam_base_tracker',
+                          'mmaction/models/trackers/sim_siam_base_tracker.py')
+    ns = types.SimpleNamespace(SimSiamBaseTracker=st.SimSiamBaseTracker)
+    _cache['simsiam_tracker'] = ns
+    return ns

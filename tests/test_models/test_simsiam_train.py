@@ -241,3 +241,45 @@ def test_train_norm_cfg_follows_pipeline_not_toplevel():
     stub2 = _Stub()
     stub2.pipeline = Compose([])
     assert _pipeline_norm_cfg(stub2) is None
+
+
+def test_train_honors_backbone_pretrained(tmp_path):
+    """cfg.model.backbone.pretrained must initialize the train state's
+    backbone through the torchvision bridge (reference
+    BaseTracker.init_weights loads it; this used to be silently
+    ignored)."""
+    import logging
+
+    import torch
+
+    from vfs_tpu.apis.train import (TrainState, _load_backbone_pretrained,
+                                    create_train_state)
+    from vfs_tpu.checkpoint import torchvision_to_flax_resnet
+    from vfs_tpu.utils import Config
+    import optax
+    from test_parity_torch import _fabricated_tv_state_dict
+    sd = _fabricated_tv_state_dict(18)
+    pth = str(tmp_path / 'r18.pth')
+    torch.save(sd, pth)
+
+    model = build_model(dict(MODEL_CFG, backbone=dict(
+        MODEL_CFG['backbone'], pretrained=pth)),
+        train_cfg=dict(intra_video=False))
+    tx = optax.sgd(0.1)
+    sample = {'imgs': np.zeros((1, 2, 2, 32, 32, 3), np.float32)}
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, tx)
+    cfg = Config(dict(model=dict(MODEL_CFG, backbone=dict(
+        MODEL_CFG['backbone'], pretrained=pth))))
+    state2 = _load_backbone_pretrained(state, cfg,
+                                       logging.getLogger('t'))
+    want, want_stats = torchvision_to_flax_resnet(
+        {k: t.numpy() for k, t in sd.items()})
+    got = state2.params['_backbone']['conv1']['conv']['kernel']
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want['conv1']['conv']['kernel']))
+    # untouched head params keep their init
+    np.testing.assert_allclose(
+        np.asarray(state2.params['_img_head']['projection_fc0']['fc']
+                   ['kernel']),
+        np.asarray(state.params['_img_head']['projection_fc0']['fc']
+                   ['kernel']))

@@ -885,3 +885,88 @@ def test_vanilla_tracker_davis_protocol_parity(tmp_path):
     agree = (a == b).mean()
     assert agree >= 0.995, f'mask agreement {agree:.4f}'
     np.testing.assert_array_equal(a[0], b[0])  # frame 0 = GT exactly
+
+
+def test_simsiam_pretraining_step_parity(tmp_path):
+    """The COMPLETE pretraining forward (reference
+    sim_siam_base_tracker.py:31-77): two-view backbone forward -> head ->
+    stop-grad symmetric loss + intra-video temporal rolls, same
+    fabricated r18 + bridged head weights — every per-roll loss term
+    must agree."""
+    from ref_loader import load_reference_simsiam_tracker
+
+    from vfs_tpu.models import build_model
+
+    ns = load_reference_simsiam_tracker()
+    sd = _fabricated_tv_state_dict(18)
+    pth = str(tmp_path / 'r18.pth')
+    torch.save(sd, pth)
+
+    head_kw = dict(in_channels=512, num_projection_fcs=3,
+                   projection_mid_channels=64, projection_out_channels=64,
+                   num_predictor_fcs=2, predictor_mid_channels=32,
+                   predictor_out_channels=64, with_norm=True,
+                   loss_feat=dict(type='CosineSimLoss', negative=False),
+                   spatial_type='avg')
+    torch.manual_seed(1)
+    ref_tracker = ns.SimSiamBaseTracker(
+        backbone=dict(depth=18, pretrained=pth, torchvision_pretrain=True),
+        img_head=dict(head_kw),
+        train_cfg=dict(intra_video=True)).train()
+
+    ours = build_model(dict(
+        type='SimSiamBaseTracker',
+        backbone=dict(type='ResNet', depth=18, out_indices=(3,),
+                      pretrained=pth),
+        img_head=dict(type='SimSiamHead', norm_cfg=dict(type='SyncBN'),
+                      **head_kw)), train_cfg=dict(intra_video=True))
+    import jax
+    x_init = jnp.zeros((1, 2, 2, 32, 32, 3))
+    v = ours.init(jax.random.PRNGKey(0), x_init, train=True)
+    params = jax.tree.map(np.asarray, v['params'])
+    stats = jax.tree.map(np.asarray, v['batch_stats'])
+    bb_params, bb_stats = torchvision_to_flax_resnet(
+        {k: t.numpy() for k, t in sd.items()})
+    params['_backbone'] = jax.tree.map(np.asarray, bb_params)
+    stats['_backbone'] = jax.tree.map(np.asarray, bb_stats)
+
+    # bridge the reference head weights into our tree
+    hsd = {k: t.detach().numpy()
+           for k, t in ref_tracker.img_head.state_dict().items()}
+
+    def fill(prefix, lin_idx, bn_idx, key):
+        tgt = params['_img_head'][key]
+        tgt['fc']['kernel'] = hsd[f'{prefix}.{lin_idx}.weight'].T
+        tgt['fc']['bias'] = hsd[f'{prefix}.{lin_idx}.bias']
+        if bn_idx is not None:
+            tgt['bn']['scale'] = hsd[f'{prefix}.{bn_idx}.weight']
+            tgt['bn']['bias'] = hsd[f'{prefix}.{bn_idx}.bias']
+            stats['_img_head'][key]['bn']['mean'] = \
+                hsd[f'{prefix}.{bn_idx}.running_mean']
+            stats['_img_head'][key]['bn']['var'] = \
+                hsd[f'{prefix}.{bn_idx}.running_var']
+
+    fill('projection_fcs', 0, 1, 'projection_fc0')
+    fill('projection_fcs', 3, 4, 'projection_fc1')
+    fill('projection_fcs', 6, 7, 'projection_fc2')
+    fill('predictor_fcs', 0, 1, 'predictor_fc0')
+    fill('predictor_fcs', 3, None, 'predictor_fc1')
+
+    # one batch: 1 video x 2 clips x 3 frames. BOTH sides run in
+    # train-BN mode (batch statistics): eval-mode BN with random
+    # fabricated weights collapses the head output rows to the bias
+    # direction, making every roll's loss degenerate-equal — train-mode
+    # statistics keep the rolls distinguishable (~0.04 apart).
+    x = _rand(1, 2, 3, 3, 32, 32, seed=40)  # B, N, C, T, H, W
+    with torch.no_grad():
+        ref_losses = ref_tracker.forward_train(torch.from_numpy(x))
+    our_losses, _ = ours.apply(
+        {'params': params, 'batch_stats': stats},
+        jnp.asarray(x.transpose(0, 1, 3, 4, 5, 2)), train=True,
+        mutable=['batch_stats'])
+    assert len(our_losses) == len(ref_losses) == 3  # roll 0, 1, 2
+    for i in range(3):
+        ref_v = float(ref_losses[f'img_head.{i}.loss_feat'].mean())
+        our_v = float(np.mean(np.asarray(
+            our_losses[f'img_head.{i}.loss_feat'])))
+        assert our_v == pytest.approx(ref_v, abs=3e-4), (i, our_v, ref_v)

@@ -168,6 +168,32 @@ def make_train_step(model, tx, mixed_precision: bool = False,
     return train_step
 
 
+def _load_backbone_pretrained(state: TrainState, cfg, logger) -> TrainState:
+    """Honor ``cfg.model.backbone.pretrained`` for the train path — the
+    reference's BaseTracker.init_weights loads it through the backbone's
+    torchvision loader (trackers/base.py:47, resnet.py:437); here the
+    bridge drops the weights into the '_backbone' collection after
+    functional init. No-op when the key is absent/None."""
+    backbone = (cfg.get('model') or {}).get('backbone') \
+        if isinstance(cfg.get('model'), dict) else None
+    pre = (backbone or {}).get('pretrained')
+    if not pre:
+        return state
+    if '_backbone' not in state.params:
+        logger.warning(f'backbone.pretrained={pre!r} set but the model '
+                       "has no '_backbone' collection; not loaded")
+        return state
+    from ..checkpoint import load_torchvision_resnet
+    params, stats = load_torchvision_resnet(pre)
+    new_params = dict(state.params)
+    new_params['_backbone'] = params
+    new_stats = dict(state.batch_stats)
+    new_stats['_backbone'] = stats
+    logger.info(f'initialized backbone from pretrained {pre}')
+    return state._replace(params=type(state.params)(new_params),
+                          batch_stats=type(state.batch_stats)(new_stats))
+
+
 def _pipeline_norm_cfg(dataset) -> Optional[Dict]:
     """The mean/std the train pipeline's ``Normalize`` actually applies.
 
@@ -246,6 +272,7 @@ def train_model(model, dataset, cfg, validate: bool = False,
     _it.close()
     state = create_train_state(model, rng, sample, tx,
                                aug_out_hw=aug_out_hw)
+    state = _load_backbone_pretrained(state, cfg, logger)
     state = jax.device_put(state, replicated(mesh))
 
     # auto-resume (reference tools/train.py:103-105)

@@ -34,14 +34,15 @@ class SimSiamBaseTracker(nn.Module):
         self.intra_video = bool(tc.get('intra_video', False))
         self.transpose_temporal = bool(tc.get('transpose_temporal', False))
 
-    def forward_img_head(self, x1, x2, clip_len: int) -> Dict:
+    def forward_img_head(self, x1, x2, clip_len: int,
+                         train: bool = True) -> Dict:
         if isinstance(x1, tuple):
             x1 = x1[-1]
         if isinstance(x2, tuple):
             x2 = x2[-1]
         losses = {}
-        z1, p1 = self._img_head(x1, train=True)
-        z2, p2 = self._img_head(x2, train=True)
+        z1, p1 = self._img_head(x1, train=train)
+        z2, p2 = self._img_head(x2, train=train)
         loss_weight = 1.0 / clip_len if self.intra_video else 1.0
         losses.update(add_prefix(
             self._img_head.loss(p1, z1, p2, z2, weight=loss_weight),
@@ -72,7 +73,8 @@ class SimSiamBaseTracker(nn.Module):
         losses = {}
         if self._img_head is not None:
             losses.update(add_prefix(
-                self.forward_img_head(x1, x2, t), prefix='img_head'))
+                self.forward_img_head(x1, x2, t, train=train),
+                prefix='img_head'))
         return losses
 
 
