@@ -32,7 +32,8 @@ def _build_mmcv_stub():
 
     class ConvModule(nn.Module):
         """conv -> norm -> act, bias='auto' => no bias when normed
-        (mmcv.cnn.ConvModule default behavior, order ('conv','norm','act'))."""
+        (mmcv.cnn.ConvModule default behavior, order ('conv','norm','act')).
+        conv_cfg type 'Conv3d'/'BN3d' dispatches to the 3D layers."""
 
         def __init__(self, in_channels, out_channels, kernel_size, stride=1,
                      padding=0, dilation=1, groups=1, bias='auto',
@@ -42,12 +43,19 @@ def _build_mmcv_stub():
             self.with_norm = norm_cfg is not None
             if bias == 'auto':
                 bias = not self.with_norm
-            self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
-                                  stride, padding, dilation, groups,
-                                  bias=bias)
+            conv_type = (conv_cfg or {}).get('type', 'Conv2d') \
+                if isinstance(conv_cfg, dict) else 'Conv2d'
+            is3d = conv_type == 'Conv3d'
+            conv_cls = nn.Conv3d if is3d else nn.Conv2d
+            # mmcv's generic 'Conv' maps to Conv2d
+            assert conv_type in ('Conv', 'Conv2d', 'Conv3d'), conv_type
+            self.conv = conv_cls(in_channels, out_channels, kernel_size,
+                                 stride, padding, dilation, groups,
+                                 bias=bias)
             if self.with_norm:
-                # BN/BN2d/SyncBN all behave as BatchNorm2d single-process
-                self.bn = nn.BatchNorm2d(out_channels)
+                # BN/SyncBN behave as plain BatchNorm single-process
+                self.bn = (nn.BatchNorm3d if is3d
+                           else nn.BatchNorm2d)(out_channels)
             if act_cfg == 'default':
                 act_cfg = dict(type='ReLU')
             self.with_act = act_cfg is not None
@@ -109,6 +117,14 @@ def _build_mmcv_stub():
         return cv2.resize(img, size, interpolation=inters[interpolation])
 
     mmcv_cnn.ConvModule = ConvModule
+    mmcv_cnn.build_activation_layer = lambda cfg: nn.ReLU(
+        inplace=cfg.get('inplace', True)) if cfg else nn.Identity()
+
+    class NonLocal3d(nn.Module):  # never instantiated (non_local off)
+        def __init__(self, *a, **k):
+            raise NotImplementedError('NonLocal3d stub')
+
+    mmcv_cnn.NonLocal3d = NonLocal3d
     mmcv_cnn.kaiming_init = kaiming_init
     mmcv_cnn.constant_init = constant_init
     mmcv_cnn.normal_init = lambda m, mean=0, std=1, bias=0: None
@@ -658,4 +674,46 @@ def load_reference_simsiam_tracker():
                           'mmaction/models/trackers/sim_siam_base_tracker.py')
     ns = types.SimpleNamespace(SimSiamBaseTracker=st.SimSiamBaseTracker)
     _cache['simsiam_tracker'] = ns
+    return ns
+
+
+def load_reference_resnet3d():
+    """Execute the reference ResNet3d verbatim
+    (mmaction/models/backbones/resnet3d.py)."""
+    if 'resnet3d' in _cache:
+        return _cache['resnet3d']
+    load_reference()  # installs mmcv stub + refmm skeleton
+    r3d = _exec_ref_module('refmm.models.backbones.resnet3d',
+                           'mmaction/models/backbones/resnet3d.py')
+    ns = types.SimpleNamespace(ResNet3d=r3d.ResNet3d)
+    _cache['resnet3d'] = ns
+    return ns
+
+
+def load_reference_resnet_tsm():
+    """Execute the reference ResNetTSM verbatim
+    (mmaction/models/backbones/resnet_tsm.py)."""
+    if 'resnet_tsm' in _cache:
+        return _cache['resnet_tsm']
+    load_reference()
+    tsm = _exec_ref_module('refmm.models.backbones.resnet_tsm',
+                           'mmaction/models/backbones/resnet_tsm.py')
+    ns = types.SimpleNamespace(ResNetTSM=tsm.ResNetTSM,
+                               TemporalShift=getattr(tsm, 'TemporalShift',
+                                                     None))
+    _cache['resnet_tsm'] = ns
+    return ns
+
+
+def load_reference_slowfast():
+    """Execute the reference ResNet3dSlowFast verbatim
+    (mmaction/models/backbones/resnet3d_slowfast.py)."""
+    if 'slowfast' in _cache:
+        return _cache['slowfast']
+    load_reference_resnet3d()
+    sys.modules['mmcv.utils'].print_log = lambda *a, **k: None
+    sf = _exec_ref_module('refmm.models.backbones.resnet3d_slowfast',
+                          'mmaction/models/backbones/resnet3d_slowfast.py')
+    ns = types.SimpleNamespace(ResNet3dSlowFast=sf.ResNet3dSlowFast)
+    _cache['slowfast'] = ns
     return ns

@@ -970,3 +970,170 @@ def test_simsiam_pretraining_step_parity(tmp_path):
         our_v = float(np.mean(np.asarray(
             our_losses[f'img_head.{i}.loss_feat'])))
         assert our_v == pytest.approx(ref_v, abs=3e-4), (i, our_v, ref_v)
+
+
+def _bridge_convmodule_sd(sd):
+    """Generic reference-ConvModule state_dict -> (params, stats) flax
+    trees for modules that mirror the reference naming (layerL.B.convN
+    -> layerL_B/convN, conv.weight -> conv/kernel transposed to
+    spatial-last, bn.weight/bias -> bn scale/bias)."""
+    params, stats = {}, {}
+
+    def put(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    for key, val in sd.items():
+        if key.endswith('num_batches_tracked'):
+            continue
+        parts = key.split('.')
+        # layerL.B.rest -> layerL_B, rest
+        if parts[0].startswith('layer') and parts[1].isdigit():
+            parts = [f'{parts[0]}_{parts[1]}'] + parts[2:]
+        # TSM wraps a conv in TemporalShift(.net); the shift has no
+        # params of its own — flatten the wrapper
+        parts = [p for p in parts if p != 'net']
+        v = val.numpy() if hasattr(val, 'numpy') else val
+        mod, leaf = parts[-2], parts[-1]
+        base = parts[:-2]
+        if mod == 'conv' and leaf == 'weight':
+            axes = tuple(range(2, v.ndim)) + (1, 0)
+            put(params, base + ['conv', 'kernel'], v.transpose(axes))
+        elif mod == 'conv' and leaf == 'bias':
+            put(params, base + ['conv', 'bias'], v)
+        elif mod == 'bn':
+            if leaf == 'weight':
+                put(params, base + ['bn', 'scale'], v)
+            elif leaf == 'bias':
+                put(params, base + ['bn', 'bias'], v)
+            elif leaf == 'running_mean':
+                put(stats, base + ['bn', 'mean'], v)
+            elif leaf == 'running_var':
+                put(stats, base + ['bn', 'var'], v)
+        else:
+            raise KeyError(key)
+    return params, stats
+
+
+def test_resnet3d_activation_parity():
+    """ResNet3d (the §2.2 3D family root) vs the reference executed
+    verbatim (ref backbones/resnet3d.py): same random weights through a
+    generic state-dict bridge, same clip — final-stage activations must
+    agree."""
+    from ref_loader import load_reference_resnet3d
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    R = load_reference_resnet3d().ResNet3d
+    torch.manual_seed(2)
+    ref = R(depth=18, pretrained=None)
+    ref.init_weights()
+    ref.eval()
+    params, stats = _bridge_convmodule_sd(ref.state_dict())
+
+    ours = BACKBONES.get('ResNet3d')(depth=18)
+    x = _rand(2, 3, 8, 32, 32, seed=50)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    got = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_resnet_tsm_activation_parity():
+    """ResNetTSM (temporal-shift residual blocks) vs the reference
+    executed verbatim (ref backbones/resnet_tsm.py): the shift pattern
+    (1/8 left, 1/8 right, zero-padded at clip edges) must produce
+    matching activations with shared random weights."""
+    from ref_loader import load_reference_resnet_tsm
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    R = load_reference_resnet_tsm().ResNetTSM
+    torch.manual_seed(3)
+    ref = R(depth=18, num_segments=4, is_shift=True, shift_div=8,
+            pretrained=None)
+    ref.init_weights()
+    ref.eval()
+    params, stats = _bridge_convmodule_sd(ref.state_dict())
+
+    ours = BACKBONES.get('ResNetTSM')(depth=18, num_segments=4,
+                                      is_shift=True, shift_div=8)
+    x = _rand(8, 3, 32, 32, seed=51)  # 2 clips x 4 segments
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    if isinstance(want, tuple):
+        want = want[-1]
+    want = want.numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_slowfast_activation_parity():
+    """ResNet3dSlowFast (two pathways + temporal lateral fusion convs)
+    vs the reference executed verbatim (ref resnet3d_slowfast.py) with
+    shared random weights — both pathway outputs must agree."""
+    from ref_loader import load_reference_slowfast
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    slow_cfg = dict(depth=18, lateral=True, conv1_kernel=(1, 7, 7),
+                    dilations=(1, 1, 1, 1), conv1_stride_t=1,
+                    pool1_stride_t=1, inflate=(0, 0, 1, 1))
+    fast_cfg = dict(depth=18, lateral=False, base_channels=8,
+                    conv1_kernel=(5, 7, 7), conv1_stride_t=1,
+                    pool1_stride_t=1)
+    R = load_reference_slowfast().ResNet3dSlowFast
+    torch.manual_seed(4)
+    ref = R(pretrained=None,
+            slow_pathway=dict(type='resnet3d', pretrained=None, **slow_cfg),
+            fast_pathway=dict(type='resnet3d', pretrained=None, **fast_cfg))
+    ref.init_weights()
+    ref.eval()
+
+    sd = ref.state_dict()
+    # our tree flattens pathway module names with the same prefixes:
+    # slow_path.conv1 -> slow_path_conv1, slow_path.layer1.0.conv1 ->
+    # slow_path_layer1_0/conv1, lateral convs conv1_lateral ->
+    # slow_path_lateral0 etc. — build the rename then reuse the bridge
+    renamed = {}
+    lateral_idx = {'conv1_lateral': 'lateral0', 'layer1_lateral':
+                   'lateral1', 'layer2_lateral': 'lateral2',
+                   'layer3_lateral': 'lateral3'}
+    for k, v in sd.items():
+        parts = k.split('.')
+        path = parts[0]  # slow_path / fast_path
+        rest = parts[1:]
+        if rest[0] in lateral_idx:
+            name = f'{path}_{lateral_idx[rest[0]]}'
+            renamed['.'.join([name] + rest[1:])] = v
+        elif rest[0].startswith('layer') and rest[1].isdigit():
+            name = f'{path}_{rest[0]}_{rest[1]}'
+            renamed['.'.join([name] + rest[2:])] = v
+        else:
+            renamed['.'.join([f'{path}_{rest[0]}'] + rest[1:])] = v
+    params, stats = _bridge_convmodule_sd(renamed)
+
+    ours = BACKBONES.get('ResNet3dSlowFast')(
+        slow_pathway=dict(slow_cfg), fast_pathway=dict(fast_cfg))
+    x = _rand(1, 3, 16, 32, 32, seed=52)
+    with torch.no_grad():
+        want_slow, want_fast = ref(torch.from_numpy(x))
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    got_slow, got_fast = got
+    np.testing.assert_allclose(
+        np.asarray(got_slow).transpose(0, 4, 1, 2, 3), want_slow.numpy(),
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_fast).transpose(0, 4, 1, 2, 3), want_fast.numpy(),
+        rtol=1e-3, atol=1e-4)

@@ -27,10 +27,17 @@ class _PathwaySpec:
     def __init__(self, prefix, depth, base_channels=64, lateral=False,
                  speed_ratio=8, channel_ratio=8, fusion_kernel=5,
                  conv1_kernel=(1, 7, 7), conv1_stride_t=1, pool1_stride_t=1,
-                 inflate=(0, 0, 1, 1), inflate_style='3x1x1',
+                 inflate=(1, 1, 1, 1), inflate_style='3x1x1',
                  spatial_strides=(1, 2, 2, 2),
                  temporal_strides=(1, 1, 1, 1), with_pool2=False,
-                 pretrained=None):
+                 pretrained=None, type=None, dilations=(1, 1, 1, 1),
+                 norm_eval=False):
+        # `type`/`dilations`/`norm_eval` appear in the reference SlowFast
+        # pathway configs (resnet3d_slowfast.py:376-398); type is a
+        # registry tag, dilations beyond 1 are not used by any shipped
+        # SlowFast config
+        assert tuple(dilations) == (1, 1, 1, 1), \
+            'SlowFast pathway dilations != 1 not supported'
         self.prefix = prefix
         self.depth = depth
         self.base_channels = base_channels
@@ -55,10 +62,14 @@ class _PathwaySpec:
                            (0, 1, 1))
 
     def lateral_conv(self, x, inplanes, idx, ura):
+        # bare conv: the reference lateral connections carry NO norm and
+        # NO activation (resnet3d_slowfast.py:44-56, norm_cfg=None,
+        # act_cfg=None) — parity-locked in test_slowfast_activation_parity
         return ConvBN3d(
             inplanes * 2 // self.channel_ratio,
             (self.fusion_kernel, 1, 1), (self.speed_ratio, 1, 1),
             ((self.fusion_kernel - 1) // 2, 0, 0), bias=False,
+            with_bn=False, act=False,
             name=f'{self.prefix}_lateral{idx}')(x, ura)
 
     def stage(self, x, i, ura):
