@@ -45,13 +45,19 @@ def _build_mmcv_stub():
                 bias = not self.with_norm
             conv_type = (conv_cfg or {}).get('type', 'Conv2d') \
                 if isinstance(conv_cfg, dict) else 'Conv2d'
-            is3d = conv_type == 'Conv3d'
-            conv_cls = nn.Conv3d if is3d else nn.Conv2d
-            # mmcv's generic 'Conv' maps to Conv2d
-            assert conv_type in ('Conv', 'Conv2d', 'Conv3d'), conv_type
-            self.conv = conv_cls(in_channels, out_channels, kernel_size,
-                                 stride, padding, dilation, groups,
-                                 bias=bias)
+            is3d = conv_type != 'Conv2d' and conv_type != 'Conv'
+            if conv_type in ('Conv', 'Conv2d', 'Conv3d'):
+                conv_cls = nn.Conv3d if is3d else nn.Conv2d
+                self.conv = conv_cls(in_channels, out_channels,
+                                     kernel_size, stride, padding,
+                                     dilation, groups, bias=bias)
+            else:
+                # custom registered conv layer (e.g. the reference's
+                # Conv2plus1d) — resolved from the CONV_LAYERS stub
+                conv_cls = CONV_LAYERS._registry[conv_type]
+                self.conv = conv_cls(in_channels, out_channels,
+                                     kernel_size, stride=stride,
+                                     padding=padding, bias=bias)
             if self.with_norm:
                 # BN/SyncBN behave as plain BatchNorm single-process
                 self.bn = (nn.BatchNorm3d if is3d
@@ -116,6 +122,27 @@ def _build_mmcv_stub():
                   'bicubic': cv2.INTER_CUBIC}
         return cv2.resize(img, size, interpolation=inters[interpolation])
 
+    class _ConvLayers:
+        _registry = {}
+
+        def register_module(self, *a, **k):
+            def deco(cls):
+                self._registry[cls.__name__] = cls
+                return cls
+            return deco
+
+    CONV_LAYERS = _ConvLayers()
+    mmcv_cnn.CONV_LAYERS = CONV_LAYERS
+
+    def build_norm_layer(cfg, num_features):
+        t = cfg['type']
+        if t in ('BN3d',):
+            return 'bn', nn.BatchNorm3d(num_features)
+        if t in ('BN', 'BN2d', 'SyncBN'):
+            return 'bn', nn.BatchNorm2d(num_features)
+        raise ValueError(t)
+
+    mmcv_cnn.build_norm_layer = build_norm_layer
     mmcv_cnn.ConvModule = ConvModule
     mmcv_cnn.build_activation_layer = lambda cfg: nn.ReLU(
         inplace=cfg.get('inplace', True)) if cfg else nn.Identity()
@@ -716,4 +743,25 @@ def load_reference_slowfast():
                           'mmaction/models/backbones/resnet3d_slowfast.py')
     ns = types.SimpleNamespace(ResNet3dSlowFast=sf.ResNet3dSlowFast)
     _cache['slowfast'] = ns
+    return ns
+
+
+def load_reference_3d_variants():
+    """Execute the remaining reference 3D variants verbatim: SlowOnly
+    (pathway subclass), CSN, and R(2+1)D (+ its Conv2plus1d layer)."""
+    if 'variants3d' in _cache:
+        return _cache['variants3d']
+    load_reference_slowfast()  # resnet3d + pathway
+    _exec_ref_module('refmm.models.common.conv2plus1d',
+                     'mmaction/models/common/conv2plus1d.py')
+    so = _exec_ref_module('refmm.models.backbones.resnet3d_slowonly',
+                          'mmaction/models/backbones/resnet3d_slowonly.py')
+    csn = _exec_ref_module('refmm.models.backbones.resnet3d_csn',
+                           'mmaction/models/backbones/resnet3d_csn.py')
+    r21d = _exec_ref_module('refmm.models.backbones.resnet2plus1d',
+                            'mmaction/models/backbones/resnet2plus1d.py')
+    ns = types.SimpleNamespace(ResNet3dSlowOnly=so.ResNet3dSlowOnly,
+                               ResNet3dCSN=csn.ResNet3dCSN,
+                               ResNet2Plus1d=r21d.ResNet2Plus1d)
+    _cache['variants3d'] = ns
     return ns

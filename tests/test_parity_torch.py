@@ -996,22 +996,22 @@ def _bridge_convmodule_sd(sd):
         # params of its own — flatten the wrapper
         parts = [p for p in parts if p != 'net']
         v = val.numpy() if hasattr(val, 'numpy') else val
-        mod, leaf = parts[-2], parts[-1]
-        base = parts[:-2]
-        if mod == 'conv' and leaf == 'weight':
+        base, leaf = parts[:-1], parts[-1]
+        # generic rule: multi-dim 'weight' = a conv kernel (transpose to
+        # spatial-last), 1-dim 'weight' = a norm scale; module path is
+        # kept verbatim (ConvModule '.conv'/'.bn' components map 1:1,
+        # bare flax convs/norms keep their own names)
+        if leaf == 'weight' and v.ndim >= 3:
             axes = tuple(range(2, v.ndim)) + (1, 0)
-            put(params, base + ['conv', 'kernel'], v.transpose(axes))
-        elif mod == 'conv' and leaf == 'bias':
-            put(params, base + ['conv', 'bias'], v)
-        elif mod == 'bn':
-            if leaf == 'weight':
-                put(params, base + ['bn', 'scale'], v)
-            elif leaf == 'bias':
-                put(params, base + ['bn', 'bias'], v)
-            elif leaf == 'running_mean':
-                put(stats, base + ['bn', 'mean'], v)
-            elif leaf == 'running_var':
-                put(stats, base + ['bn', 'var'], v)
+            put(params, base + ['kernel'], v.transpose(axes))
+        elif leaf == 'weight':
+            put(params, base + ['scale'], v)
+        elif leaf == 'bias':
+            put(params, base + ['bias'], v)
+        elif leaf == 'running_mean':
+            put(stats, base + ['mean'], v)
+        elif leaf == 'running_var':
+            put(stats, base + ['var'], v)
         else:
             raise KeyError(key)
     return params, stats
@@ -1136,4 +1136,122 @@ def test_slowfast_activation_parity():
         rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(got_fast).transpose(0, 4, 1, 2, 3), want_fast.numpy(),
+        rtol=1e-3, atol=1e-4)
+
+
+def test_slowonly_activation_parity():
+    """ResNet3dSlowOnly vs the reference executed verbatim (ref
+    resnet3d_slowonly.py: pathway subclass with (1,7,7) stem, no
+    temporal downsampling)."""
+    from ref_loader import load_reference_3d_variants
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    R = load_reference_3d_variants().ResNet3dSlowOnly
+    torch.manual_seed(5)
+    ref = R(depth=18, pretrained=None, lateral=False,
+            conv1_kernel=(1, 7, 7), inflate=(0, 0, 1, 1))
+    ref.init_weights()
+    ref.eval()
+    params, stats = _bridge_convmodule_sd(ref.state_dict())
+    # ours nests the shared ResNet3d under a 'resnet3d' scope
+    params, stats = {'resnet3d': params}, {'resnet3d': stats}
+
+    ours = BACKBONES.get('ResNet3dSlowOnly')(
+        depth=18, conv1_kernel=(1, 7, 7), inflate=(0, 0, 1, 1))
+    x = _rand(1, 3, 8, 32, 32, seed=53)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+        rtol=1e-3, atol=1e-4)
+
+
+def test_csn_activation_parity():
+    """Channel-separated (CSN, 'ir' mode) bottlenecks vs the reference
+    executed verbatim (ref resnet3d_csn.py: depthwise 3x3x3 conv2)."""
+    from ref_loader import load_reference_3d_variants
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    R = load_reference_3d_variants().ResNet3dCSN
+    torch.manual_seed(6)
+    ref = R(depth=50, pretrained=None, pretrained2d=False,
+            temporal_strides=(1, 2, 2, 2), bottleneck_mode='ir')
+    ref.init_weights()
+    ref.eval()
+    sd = {}
+    for k, v in ref.state_dict().items():
+        # ours names the depthwise ConvModule's pieces conv2_dw + bn2
+        k = k.replace('.conv2.0.conv.', '.conv2_dw.') \
+             .replace('.conv2.0.bn.', '.bn2.')
+        sd[k] = v
+    params, stats = _bridge_convmodule_sd(sd)
+    # conv2_dw is a bare flax conv param (no submodule): hoist kernel
+    for blk in list(params):
+        if 'conv2_dw' in params.get(blk, {}):
+            node = params[blk]['conv2_dw']
+            if isinstance(node, dict) and 'conv' not in node:
+                continue
+
+    ours = BACKBONES.get('ResNet3dCSN')(depth=50, bottleneck_mode='ir',
+                                        temporal_strides=(1, 2, 2, 2))
+    x = _rand(1, 3, 8, 32, 32, seed=54)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), want,
+        rtol=1e-3, atol=1e-4)
+
+
+def test_r2plus1d_activation_parity():
+    """R(2+1)D factorized convs vs the reference executed verbatim (ref
+    resnet2plus1d.py + common/conv2plus1d.py: spatial conv + BN + ReLU +
+    temporal conv, mid-channel formula)."""
+    from ref_loader import load_reference_3d_variants
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    R = load_reference_3d_variants().ResNet2Plus1d
+    torch.manual_seed(7)
+    ref = R(depth=18, pretrained=None, pretrained2d=False,
+            conv_cfg=dict(type='Conv2plus1d'), conv1_kernel=(3, 7, 7),
+            conv1_stride_t=1, pool1_stride_t=1, with_pool2=False,
+            temporal_strides=(1, 2, 2, 2))
+    ref.init_weights()
+    ref.eval()
+    sd = {}
+    for k, v in ref.state_dict().items():
+        # reference ConvModule(conv=Conv2plus1d{conv_s,bn_s,conv_t}, bn):
+        # ours inlines conv_s/bn_s/conv_t and names the outer BN bn1/bn2
+        k = k.replace('.conv.conv_s.', '.conv_s.') \
+             .replace('.conv.bn_s.', '.bn_s.') \
+             .replace('.conv.conv_t.', '.conv_t.')
+        if k.startswith('conv1.bn.'):
+            k = k.replace('conv1.bn.', 'bn1.')
+        else:
+            k = k.replace('.conv1.bn.', '.bn1.').replace(
+                '.conv2.bn.', '.bn2.')
+            k = k.replace('.downsample.bn.', '.downsample_bn.')
+        sd[k] = v
+    params, stats = _bridge_convmodule_sd(sd)
+
+    ours = BACKBONES.get('ResNet2Plus1d')(depth=18)
+    x = _rand(1, 3, 8, 32, 32, seed=55)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 4, 1, 2, 3), want,
         rtol=1e-3, atol=1e-4)

@@ -156,8 +156,12 @@ class Conv2Plus1d(nn.Module):
         kt, kh, kw = self.kernel
         st, sh, sw = self.strides
         in_c = x.shape[-1]
-        mid = (kt * kh * kw * in_c * self.features) // (
-            kh * kw * in_c + kt * self.features)
+        # the reference hardcodes the temporal factor 3 in the
+        # mid-channel formula regardless of the actual kt
+        # (conv2plus1d.py:61-65) — e.g. the 1x1x1 downsample gets
+        # mid=3*in*out/(in+3*out), not kt=1's smaller value
+        mid = (3 * in_c * self.features * kh * kw) // (
+            in_c * kh * kw + 3 * self.features)
         mid = max(mid, 1)
         x = nn.Conv(mid, (1, kh, kw), strides=(1, sh, sw),
                     padding=[(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
@@ -192,10 +196,17 @@ class Block2Plus1d(nn.Module):
         out = nn.BatchNorm(use_running_average=ura, momentum=0.9,
                            epsilon=1e-5, name='bn2')(out)
         if self.with_downsample:
-            identity = ConvBN3d(self.planes * self.expansion, (1, 1, 1),
-                                (self.temporal_stride, self.spatial_stride,
-                                 self.spatial_stride), (0, 0, 0), act=False,
-                                name='downsample')(x, ura)
+            # the reference builds the downsample with the SAME conv_cfg
+            # (resnet3d.py make_res_layer): a factorized 1x1x1
+            # Conv2plus1d + outer BN, not a plain conv (parity-locked)
+            identity = Conv2Plus1d(self.planes * self.expansion, (1, 1, 1),
+                                   (self.temporal_stride,
+                                    self.spatial_stride,
+                                    self.spatial_stride),
+                                   name='downsample')(x, ura)
+            identity = nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                                    epsilon=1e-5,
+                                    name='downsample_bn')(identity)
         return nn.relu(out + identity)
 
 
@@ -286,6 +297,7 @@ class ResNet3dCSN(nn.Module):
     conv1_kernel: Tuple[int, int, int] = (3, 7, 7)
     conv1_stride_t: int = 1
     pool1_stride_t: int = 1
+    with_pool2: bool = True  # reference ResNet3d default (parity-locked)
     norm_eval: bool = False
 
     @nn.compact
@@ -309,4 +321,6 @@ class ResNet3dCSN(nn.Module):
                                   bottleneck_mode=self.bottleneck_mode,
                                   with_downsample=with_ds,
                                   name=f'layer{i + 1}_{j}')(x, ura)
+            if i == 0 and self.with_pool2:
+                x = max_pool_3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
         return x
