@@ -765,3 +765,52 @@ def load_reference_3d_variants():
                                ResNet2Plus1d=r21d.ResNet2Plus1d)
     _cache['variants3d'] = ns
     return ns
+
+
+def load_reference_heads():
+    """Execute the reference recognition heads verbatim
+    (mmaction/models/heads/{base,tsn,i3d,tsm,slowfast}_head.py)."""
+    if 'heads' in _cache:
+        return _cache['heads']
+    load_reference()
+    builder_mod = sys.modules.get('refmm.models.builder')
+    if builder_mod is None:
+        builder_mod = types.ModuleType('refmm.models.builder')
+        sys.modules['refmm.models.builder'] = builder_mod
+    if not hasattr(builder_mod, 'build_loss'):
+        import torch.nn as nn
+        builder_mod.build_loss = lambda cfg: nn.CrossEntropyLoss()
+    registry_mod = sys.modules['refmm.models.registry']
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    if not hasattr(registry_mod, 'HEADS'):
+        registry_mod.HEADS = _Reg()
+    core_mod = types.ModuleType('refmm.core')
+    core_acc = _exec_ref_module('refmm.core.accuracy',
+                                'mmaction/core/evaluation/accuracy.py')
+    core_mod.top_k_accuracy = core_acc.top_k_accuracy
+    sys.modules['refmm.core'] = core_mod
+    heads_pkg = sys.modules.get('refmm.models.heads')
+    if heads_pkg is None:
+        heads_pkg = types.ModuleType('refmm.models.heads')
+        heads_pkg.__path__ = []
+        sys.modules['refmm.models.heads'] = heads_pkg
+    base = _exec_ref_module('refmm.models.heads.base',
+                            'mmaction/models/heads/base.py')
+    heads_pkg.AvgConsensus = base.AvgConsensus
+    heads_pkg.BaseHead = base.BaseHead
+    sys.modules['refmm.models.heads.base'] = base
+    mods = {}
+    for name in ('tsn_head', 'i3d_head', 'tsm_head', 'slowfast_head'):
+        mods[name] = _exec_ref_module(f'refmm.models.heads.{name}',
+                                      f'mmaction/models/heads/{name}.py')
+    ns = types.SimpleNamespace(
+        TSNHead=mods['tsn_head'].TSNHead,
+        I3DHead=mods['i3d_head'].I3DHead,
+        TSMHead=mods['tsm_head'].TSMHead,
+        SlowFastHead=mods['slowfast_head'].SlowFastHead)
+    _cache['heads'] = ns
+    return ns

@@ -1255,3 +1255,180 @@ def test_r2plus1d_activation_parity():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 4, 1, 2, 3), want,
         rtol=1e-3, atol=1e-4)
+
+
+def test_siamfc_losses_parity():
+    """SiamFC training losses (balanced/focal/OHNM/GHMC) vs the
+    reference loss classes executed verbatim (ref siamfc/losses.py)."""
+    import os.path as osp
+    import sys
+
+    from ref_loader import load_reference_siamfc
+    load_reference_siamfc()
+    losses_mod = __import__('refsiam.losses', fromlist=['x'])
+    sys.path.insert(0, osp.join(osp.dirname(__file__),
+                                '../projects/siamfc'))
+    from siamfc_tpu.losses import (balanced_loss, focal_loss, ghmc_loss,
+                                   ohnm_loss)
+
+    rng = np.random.RandomState(60)
+    logits = rng.randn(4, 1, 15, 15).astype(np.float32) * 2
+    labels = (rng.rand(4, 1, 15, 15) > 0.8).astype(np.float32)
+    tl, tt = torch.from_numpy(logits), torch.from_numpy(labels)
+    jl, jt = jnp.asarray(logits), jnp.asarray(labels)
+
+    want = float(losses_mod.BalancedLoss()(tl, tt))
+    got = float(balanced_loss(jl, jt))
+    assert got == pytest.approx(want, rel=1e-5), ('balanced', got, want)
+
+    want = float(losses_mod.FocalLoss()(tl, tt))
+    got = float(focal_loss(jl, jt))
+    assert got == pytest.approx(want, rel=1e-5), ('focal', got, want)
+
+    want = float(losses_mod.OHNMLoss()(tl, tt))
+    got = float(ohnm_loss(jl, jt))
+    assert got == pytest.approx(want, rel=1e-4), ('ohnm', got, want)
+
+    g = losses_mod.GHMCLoss(momentum=0.0)
+    want = float(g(tl, tt))
+    got = float(ghmc_loss(jl, jt))
+    assert got == pytest.approx(want, rel=1e-4), ('ghmc', got, want)
+
+
+def test_siamfc_create_labels_parity():
+    """The logistic training labels from block distance (ref
+    siamfc_tracker_base.py:469-500) vs ours."""
+    import os.path as osp
+    import sys
+
+    from ref_loader import load_reference_siamfc_tracker
+    sys.path.insert(0, osp.join(osp.dirname(__file__),
+                                '../projects/siamfc'))
+    from siamfc_tpu.losses import create_labels
+
+    from vfs_tpu.utils import Config
+
+    ns = load_reference_siamfc_tracker()
+    import logging
+    base = dict(out_scale=0.001, exemplar_sz=120, instance_sz=255,
+                context=0.5, scale_num=3, scale_step=1.0375, scale_lr=0.59,
+                scale_penalty=0.9745, window_influence=0.176,
+                response_sz=17, response_up=16, total_stride=8,
+                epoch_num=1, batch_size=2, num_workers=0, initial_lr=1e-3,
+                ultimate_lr=1e-5, weight_decay=5e-4, momentum=0.9,
+                r_pos=16, r_neg=0, pairs_per_seq=1, optimizer='SGD',
+                loss='focal', lr_schedule='exp', lr_step_size=10,
+                extra_conv=False, out_channels=512, reduction=1,
+                auto_resume=False, force_wd=False, out_block_index=None,
+                checkpoint=None,
+                model=dict(backbone=dict(depth=18, out_indices=(3,),
+                                         frozen_stages=4,
+                                         dilations=(1, 1, 2, 4),
+                                         strides=(1, 2, 1, 1),
+                                         with_cp=False, norm_eval=True)))
+    ref_tracker = ns.TrackerSiamFC(Config(base), logging.getLogger('r'))
+    want = ref_tracker._create_labels((2, 1, 15, 15)).numpy()
+    got = np.asarray(create_labels((15, 15), r_pos=16, r_neg=0,
+                                   total_stride=8))
+    np.testing.assert_allclose(np.broadcast_to(got, want.shape), want)
+
+
+def test_recognition_heads_parity():
+    """TSN/I3D/TSM/SlowFast classification heads vs the reference head
+    classes executed verbatim (ref mmaction/models/heads/) with shared
+    fc weights — scores must agree (pool + consensus semantics)."""
+    import jax
+
+    from ref_loader import load_reference_heads
+
+    from vfs_tpu.models.registry import HEADS
+
+    ns = load_reference_heads()
+    rng = np.random.RandomState(61)
+    w = rng.randn(10, 64).astype(np.float32) * 0.1
+    b = rng.randn(10).astype(np.float32) * 0.1
+
+    def our_vars(head, x, **kw):
+        v = head.init(jax.random.PRNGKey(0), jnp.asarray(x), **kw)
+        params = jax.tree.map(np.asarray, v['params'])
+        # single fc head: install the shared weights
+        fc = [k for k in params if 'fc' in k][0]
+        params[fc]['kernel'] = w.T
+        params[fc]['bias'] = b
+        return {'params': params}
+
+    # TSN: (N*num_segs, C, 7, 7) -> pool -> consensus over segs
+    torch.manual_seed(8)
+    ref = ns.TSNHead(num_classes=10, in_channels=64)
+    ref.eval()
+    with torch.no_grad():
+        ref.fc_cls.weight.copy_(torch.from_numpy(w))
+        ref.fc_cls.bias.copy_(torch.from_numpy(b))
+    x = rng.randn(8, 64, 7, 7).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), num_segs=4).numpy()
+    ours = HEADS.get('TSNHead')(num_classes=10, in_channels=64)
+    xj = x.transpose(0, 2, 3, 1)
+    got = np.asarray(ours.apply(our_vars(ours, xj, num_segs=4),
+                                jnp.asarray(xj), num_segs=4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                               err_msg='TSN')
+
+    # I3D: (N, C, T, H, W) -> 3D avg pool -> fc
+    ref = ns.I3DHead(num_classes=10, in_channels=64)
+    ref.eval()
+    with torch.no_grad():
+        ref.fc_cls.weight.copy_(torch.from_numpy(w))
+        ref.fc_cls.bias.copy_(torch.from_numpy(b))
+    x = rng.randn(2, 64, 4, 7, 7).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    ours = HEADS.get('I3DHead')(num_classes=10, in_channels=64)
+    xj = x.transpose(0, 2, 3, 4, 1)
+    got = np.asarray(ours.apply(our_vars(ours, xj), jnp.asarray(xj)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                               err_msg='I3D')
+
+    # TSM: like TSN but averages AFTER softmax in eval (is_shift
+    # temporal pooling semantics differ: consensus after fc)
+    ref = ns.TSMHead(num_classes=10, in_channels=64)
+    ref.eval()
+    with torch.no_grad():
+        ref.fc_cls.weight.copy_(torch.from_numpy(w))
+        ref.fc_cls.bias.copy_(torch.from_numpy(b))
+    x = rng.randn(8, 64, 7, 7).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), num_segments=4).numpy()
+    ours = HEADS.get('TSMHead')(num_classes=10, in_channels=64,
+                                num_segments=4)
+    xj = x.transpose(0, 2, 3, 1)
+    got = np.asarray(ours.apply(our_vars(ours, xj, num_segs=4),
+                                jnp.asarray(xj), num_segs=4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                               err_msg='TSM')
+
+    # SlowFast: concat pooled slow+fast -> fc
+    w2 = rng.randn(10, 96).astype(np.float32) * 0.1
+    ref = ns.SlowFastHead(num_classes=10, in_channels=96)
+    ref.eval()
+    with torch.no_grad():
+        ref.fc_cls.weight.copy_(torch.from_numpy(w2))
+        ref.fc_cls.bias.copy_(torch.from_numpy(b))
+    xs = rng.randn(2, 64, 2, 7, 7).astype(np.float32)
+    xf = rng.randn(2, 32, 8, 7, 7).astype(np.float32)
+    with torch.no_grad():
+        want = ref((torch.from_numpy(xs), torch.from_numpy(xf))).numpy()
+    ours = HEADS.get('SlowFastHead')(num_classes=10, in_channels=96)
+    xsj = xs.transpose(0, 2, 3, 4, 1)
+    xfj = xf.transpose(0, 2, 3, 4, 1)
+    v = ours.init(jax.random.PRNGKey(0),
+                  (jnp.asarray(xsj), jnp.asarray(xfj)))
+    import jax as _jax
+    params = _jax.tree.map(np.asarray, v['params'])
+    fc = [k for k in params if 'fc' in k][0]
+    params[fc]['kernel'] = w2.T
+    params[fc]['bias'] = b
+    got = np.asarray(ours.apply({'params': params},
+                                (jnp.asarray(xsj), jnp.asarray(xfj))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                               err_msg='SlowFast')

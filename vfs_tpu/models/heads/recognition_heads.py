@@ -164,7 +164,11 @@ class SlowFastHead(nn.Module):
         x_slow, x_fast = x  # each (N, T, H, W, C)
         x_slow = jnp.mean(x_slow, axis=(1, 2, 3))
         x_fast = jnp.mean(x_fast, axis=(1, 2, 3))
-        feat = jnp.concatenate([x_slow, x_fast], axis=-1)
+        # fc layout parity: the reference head unpacks its input tuple
+        # as (fast, slow) and concatenates (slow_var, fast_var) — i.e.
+        # element 1 THEN element 0 (slowfast_head.py:64-69). With the
+        # backbone emitting (slow, fast), the fc sees [fast, slow].
+        feat = jnp.concatenate([x_fast, x_slow], axis=-1)
         if self.dropout_ratio and train:
             feat = nn.Dropout(self.dropout_ratio, deterministic=False)(feat)
         return nn.Dense(self.num_classes,
