@@ -1432,3 +1432,121 @@ def test_recognition_heads_parity():
                                 (jnp.asarray(xsj), jnp.asarray(xfj))))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
                                err_msg='SlowFast')
+
+
+def test_bmn_forward_parity():
+    """The full BMN network forward (base/start/end 1D towers, boundary-
+    matching sampling matmul, 3D+2D confidence towers) vs the reference
+    executed verbatim with shared weights (ref bmn.py:173-280)."""
+    import jax
+
+    from ref_loader import load_reference_bmn
+
+    from vfs_tpu.models import build_model
+
+    kwargs = dict(temporal_dim=20, boundary_ratio=0.5, num_samples=8,
+                  num_samples_per_bin=3, feat_dim=16, soft_nms_alpha=0.4,
+                  soft_nms_low_threshold=0.5, soft_nms_high_threshold=0.9,
+                  post_process_top_k=100)
+    torch.manual_seed(9)
+    ref = load_reference_bmn().BMN(**kwargs)
+    ref.eval()
+    name_map = {'x_1d_b.0': 'x1db_0', 'x_1d_b.2': 'x1db_1',
+                'x_1d_s.0': 'x1ds_0', 'x_1d_s.2': 'x1ds_1',
+                'x_1d_e.0': 'x1de_0', 'x_1d_e.2': 'x1de_1',
+                'x_1d_p.0': 'x1dp_0', 'x_3d_p.0': 'x3dp',
+                'x_2d_p.0': 'x2dp_0', 'x_2d_p.2': 'x2dp_1',
+                'x_2d_p.4': 'x2dp_2', 'x_2d_p.6': 'x2dp_3'}
+    sd = {}
+    for k, v in ref.state_dict().items():
+        parts = k.rsplit('.', 1)
+        if parts[0] in name_map:
+            sd[f'{name_map[parts[0]]}.{parts[1]}'] = v
+    params, stats = _bridge_convmodule_sd(sd)
+
+    ours = build_model(dict(type='BMN', **kwargs))
+    x = _rand(2, 16, 20, seed=62)  # N, C, T
+    with torch.no_grad():
+        want_cm, want_s, want_e = ref._forward(torch.from_numpy(x))
+    got_cm, got_s, got_e = ours.apply(
+        {'params': params}, jnp.asarray(x.transpose(0, 2, 1)),
+        train=False)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_e), want_e.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_cm).transpose(0, 3, 1, 2), want_cm.numpy(),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_tem_pem_forward_parity():
+    """TEM/PEM network forwards (ratio-scaled conv/fc towers, ref
+    bsn.py:106-118, :291-303) with shared weights."""
+    import jax
+
+    from ref_loader import load_reference_bmn
+
+    from vfs_tpu.models import build_model
+
+    ns = load_reference_bmn()
+    torch.manual_seed(10)
+    tem_kw = dict(temporal_dim=20, boundary_ratio=0.1, tem_feat_dim=8,
+                  tem_hidden_dim=16, tem_match_threshold=0.5)
+    ref = ns.TEM(**tem_kw)
+    ref.eval()
+    params, _ = _bridge_convmodule_sd(ref.state_dict())
+    ours = build_model(dict(type='TEM', **tem_kw))
+    x = _rand(2, 8, 20, seed=63)
+    with torch.no_grad():
+        want = ref._forward(torch.from_numpy(x)).numpy()
+    got = ours.apply({'params': params},
+                     jnp.asarray(x.transpose(0, 2, 1)), train=False)
+    got = np.asarray(got)
+    if got.shape != want.shape:  # ours may emit (N, T, 3)
+        got = got.transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    pem_kw = dict(pem_feat_dim=8, pem_hidden_dim=16, pem_u_ratio_m=1.0,
+                  pem_u_ratio_l=2.0, pem_high_temporal_iou_threshold=0.6,
+                  pem_low_temporal_iou_threshold=0.2, soft_nms_alpha=0.75,
+                  soft_nms_low_threshold=0.65, soft_nms_high_threshold=0.9,
+                  post_process_top_k=100)
+    ref = ns.PEM(**pem_kw)
+    ref.eval()
+    params, _ = _bridge_convmodule_sd(ref.state_dict())
+    # fc weights: torch (out, in) -> flax kernel (in, out)
+    for fc in ('fc1', 'fc2'):
+        params[fc]['kernel'] = params[fc].pop('scale').T \
+            if 'scale' in params[fc] else params[fc]['kernel']
+    ours = build_model(dict(type='PEM', **pem_kw))
+    xp = _rand(6, 8, seed=64)
+    with torch.no_grad():
+        want = ref._forward([torch.from_numpy(xp)]).numpy()
+    got = np.asarray(ours.apply({'params': params}, jnp.asarray(xp),
+                                train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_soft_nms_parity():
+    """Temporal soft-NMS (ref localization/proposal_utils.py:48) on the
+    same proposal set."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        'ref_prop', '/root/reference/mmaction/localization/proposal_utils.py')
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    from vfs_tpu.localization.proposal_utils import soft_nms as ours
+
+    rng = np.random.RandomState(65)
+    tmin = rng.rand(30)
+    tmax = tmin + rng.rand(30) * 0.3
+    score = rng.rand(30)
+    props = np.stack([tmin, tmax, score], axis=1)
+    want = ref.soft_nms(props.copy(), alpha=0.4, low_threshold=0.3,
+                        high_threshold=0.7, top_k=10)
+    got = ours(props.copy(), alpha=0.4, low_threshold=0.3,
+               high_threshold=0.7, top_k=10)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-8)
