@@ -43,6 +43,8 @@ def _build_mmcv_stub():
             self.with_norm = norm_cfg is not None
             if bias == 'auto':
                 bias = not self.with_norm
+            self.in_channels = in_channels
+            self.out_channels = out_channels
             conv_type = (conv_cfg or {}).get('type', 'Conv2d') \
                 if isinstance(conv_cfg, dict) else 'Conv2d'
             is3d = conv_type != 'Conv2d' and conv_type != 'Conv'
@@ -508,7 +510,12 @@ def load_reference_simsiam():
 
     def build_loss(cfg):
         cfg = dict(cfg)
-        return getattr(sim_loss, cfg.pop('type'))(**cfg)
+        t = cfg.pop('type')
+        if hasattr(sim_loss, t):
+            return getattr(sim_loss, t)(**cfg)
+        if t == 'CrossEntropyLoss':  # the recognition heads' default
+            return nn.CrossEntropyLoss()
+        raise AttributeError(t)
 
     builder_mod.build_loss = build_loss
     builder_mod.build_drop_layer = lambda cfg: nn.Identity()
@@ -813,4 +820,43 @@ def load_reference_heads():
         TSMHead=mods['tsm_head'].TSMHead,
         SlowFastHead=mods['slowfast_head'].SlowFastHead)
     _cache['heads'] = ns
+    return ns
+
+
+def load_reference_tin():
+    """Execute the reference ResNetTIN verbatim
+    (mmaction/models/backbones/resnet_tin.py). mmcv.ops.tin_shift is a
+    CUDA extension; the stub implements its documented semantics
+    (output[t] = input[t - shift] per channel group, zero-padded) — the
+    same convention vfs_tpu uses, so the parity test validates the
+    offset/weight nets and the interlace composition around it."""
+    import torch
+    if 'tin' in _cache:
+        return _cache['tin']
+    load_reference_resnet_tsm()
+    mmcv_ops = types.ModuleType('mmcv.ops')
+
+    def tin_shift(data, shift):
+        n, t, c, hw = data.shape
+        groups = shift.shape[1]
+        gsize = c // groups
+        out = torch.zeros_like(data)
+        for b in range(n):
+            for g in range(groups):
+                s = int(shift[b, g])
+                cs = slice(g * gsize, (g + 1) * gsize)
+                lo, hi = max(0, s), min(t, t + s)
+                if lo < hi:
+                    out[b, lo:hi, cs] = data[b, lo - s:hi - s, cs]
+        return out
+
+    mmcv_ops.tin_shift = tin_shift
+    sys.modules['mmcv.ops'] = mmcv_ops
+    sys.modules['mmcv'].ops = mmcv_ops
+    tin = _exec_ref_module('refmm.models.backbones.resnet_tin',
+                           'mmaction/models/backbones/resnet_tin.py')
+    ns = types.SimpleNamespace(ResNetTIN=tin.ResNetTIN,
+                               linear_sampler=tin.linear_sampler,
+                               TemporalInterlace=tin.TemporalInterlace)
+    _cache['tin'] = ns
     return ns

@@ -1550,3 +1550,54 @@ def test_soft_nms_parity():
                high_threshold=0.7, top_k=10)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-8)
+
+
+def test_resnet_tin_activation_parity():
+    """ResNetTIN (differentiable temporal interlace: offset/weight nets
+    + fractional group shifts) vs the reference executed verbatim (ref
+    resnet_tin.py; mmcv's tin_shift CUDA op stubbed with its documented
+    output[t]=input[t-shift] semantics, the same convention ours uses)."""
+    from ref_loader import load_reference_tin
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    R = load_reference_tin().ResNetTIN
+    torch.manual_seed(11)
+    ref = R(depth=18, num_segments=4, pretrained=None, is_tin=True)
+    ref.init_weights()
+    ref.eval()
+
+    sd = {}
+    for k, v in ref.state_dict().items():
+        # CombineNet: conv1.conv.net1 = TemporalInterlace -> ours 'tin'
+        # (one per block); conv1.conv.net2 = the original conv
+        k = k.replace('.conv1.conv.net1.', '.tin.')
+        k = k.replace('.conv1.conv.net2.', '.conv1.conv.')
+        sd[k] = v
+    params, stats = _bridge_convmodule_sd(sd)
+    # fc weights bridged as 2-dim: move scale -> kernel (transposed)
+    import jax
+    for blk in params:
+        tin = params[blk].get('tin') if isinstance(params[blk], dict) \
+            else None
+        if tin:
+            for net in ('offset_net',):
+                for fc in ('fc1', 'fc2'):
+                    node = tin[net][fc]
+                    if 'scale' in node:
+                        node['kernel'] = node.pop('scale').T
+
+    ours = BACKBONES.get('ResNetTIN')(depth=18, num_segments=4,
+                                      is_tin=True)
+    x = _rand(8, 3, 32, 32, seed=66)  # 2 clips x 4 segments
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    if isinstance(want, tuple):
+        want = want[-1]
+    want = want.numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
