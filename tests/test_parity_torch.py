@@ -1601,3 +1601,42 @@ def test_resnet_tin_activation_parity():
         got = got[-1]
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_alexnet_variants_parity():
+    """AlexNet V1-V3 (the SiamFC alternative backbones) vs the reference
+    executed verbatim (ref projects/siamfc-pytorch/siamfc/backbones.py)
+    with bridged weights — including V1/V2's bare conv5 and V2's
+    stride-1 second pool."""
+    from ref_loader import _exec_ref_module, load_reference_siamfc
+
+    from vfs_tpu.models.registry import BACKBONES
+    load_reference_siamfc()
+    import sys as _sys
+    if 'refsiam.backbones' not in _sys.modules:
+        _exec_ref_module('refsiam.backbones',
+                         'projects/siamfc-pytorch/siamfc/backbones.py')
+    ref_mod = _sys.modules['refsiam.backbones']
+
+    for name in ('AlexNetV1', 'AlexNetV2', 'AlexNetV3'):
+        torch.manual_seed(12)
+        ref = getattr(ref_mod, name)()
+        ref.eval()
+        sd = {}
+        for k, v in ref.state_dict().items():
+            if k.endswith('num_batches_tracked'):
+                continue
+            # convN.0 = conv, convN.1 = bn
+            k = k.replace('.0.', '.conv.').replace('.1.', '.bn.')
+            sd[k] = v
+        params, stats = _bridge_convmodule_sd(sd)
+        ours = BACKBONES.get(name)()
+        x = _rand(2, 3, 127, 127, seed=67)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+        got = ours.apply({'params': params, 'batch_stats': stats},
+                         jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         train=False)
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4,
+                                   err_msg=name)

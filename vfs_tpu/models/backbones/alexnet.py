@@ -23,6 +23,7 @@ class _ConvBNReLU(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = True
+    with_bn: bool = True
 
     @nn.compact
     def __call__(self, x, ura: bool = True):
@@ -30,8 +31,11 @@ class _ConvBNReLU(nn.Module):
                     strides=(self.stride, self.stride), padding='VALID',
                     feature_group_count=self.groups, use_bias=True,
                     name='conv')(x)
-        x = nn.BatchNorm(use_running_average=ura, momentum=0.9,
-                         epsilon=1e-5, name='bn')(x)
+        if self.with_bn:
+            # the reference's custom _BatchNorm2d uses eps=1e-6,
+            # momentum=0.05 (siamfc backbones.py:6-10)
+            x = nn.BatchNorm(use_running_average=ura, momentum=0.95,
+                             epsilon=1e-6, name='bn')(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -50,7 +54,9 @@ class AlexNetV1(nn.Module):
         x = _max_pool(x, 3, 2)
         x = _ConvBNReLU(384, 3, 1, name='conv3')(x, ura)
         x = _ConvBNReLU(384, 3, 1, groups=2, name='conv4')(x, ura)
-        x = _ConvBNReLU(256, 3, 1, groups=2, act=False, name='conv5')(x, ura)
+        # conv5 is a bare conv in the reference (backbones.py:41)
+        x = _ConvBNReLU(256, 3, 1, groups=2, act=False, with_bn=False,
+                        name='conv5')(x, ura)
         return x
 
 
@@ -63,10 +69,12 @@ class AlexNetV2(nn.Module):
         x = _ConvBNReLU(96, 11, 2, name='conv1')(x, ura)
         x = _max_pool(x, 3, 2)
         x = _ConvBNReLU(256, 5, 1, groups=2, name='conv2')(x, ura)
-        x = _max_pool(x, 3, 2)
+        # V2's second pool is stride 1 (output_stride 4, backbones.py:54)
+        x = _max_pool(x, 3, 1)
         x = _ConvBNReLU(384, 3, 1, name='conv3')(x, ura)
         x = _ConvBNReLU(384, 3, 1, groups=2, name='conv4')(x, ura)
-        x = _ConvBNReLU(32, 3, 1, groups=2, act=False, name='conv5')(x, ura)
+        x = _ConvBNReLU(32, 3, 1, groups=2, act=False, with_bn=False,
+                        name='conv5')(x, ura)
         return x
 
 
