@@ -283,3 +283,39 @@ def test_train_honors_backbone_pretrained(tmp_path):
                    ['kernel']),
         np.asarray(state.params['_img_head']['projection_fc0']['fc']
                    ['kernel']))
+
+
+def test_backbone_pretrained_guards(tmp_path):
+    """backbone.pretrained must fail loudly for non-ResNet backbones and
+    mismatched checkpoints instead of installing a broken tree."""
+    import logging
+
+    import optax
+    import torch
+
+    from test_parity_torch import _fabricated_tv_state_dict
+    from vfs_tpu.apis.train import (_load_backbone_pretrained,
+                                    create_train_state)
+    from vfs_tpu.utils import Config
+
+    sd50 = _fabricated_tv_state_dict(50)
+    pth50 = str(tmp_path / 'r50.pth')
+    torch.save(sd50, pth50)
+
+    model = build_model(MODEL_CFG, train_cfg=dict(intra_video=False))
+    tx = optax.sgd(0.1)
+    sample = {'imgs': np.zeros((1, 2, 2, 32, 32, 3), np.float32)}
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, tx)
+    log = logging.getLogger('t')
+
+    # r50 checkpoint into an r18 model: clear error, not a broken tree
+    cfg = Config(dict(model=dict(MODEL_CFG, backbone=dict(
+        MODEL_CFG['backbone'], pretrained=pth50))))
+    with pytest.raises(ValueError, match='does not match'):
+        _load_backbone_pretrained(state, cfg, log)
+
+    # non-ResNet backbone with pretrained: clear error
+    cfg = Config(dict(model=dict(MODEL_CFG, backbone=dict(
+        type='AlexNetV1', pretrained=pth50))))
+    with pytest.raises(ValueError, match='only supported'):
+        _load_backbone_pretrained(state, cfg, log)

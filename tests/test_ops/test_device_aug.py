@@ -320,3 +320,47 @@ def test_simsiam_trains_with_device_aug(tmp_path):
     state = train_model(model, dataset, cfg)
     assert int(state.step) == 1
     assert osp.exists(str(tmp_path / 'work' / 'checkpoints' / 'step_1'))
+
+
+def test_split_device_aug_pipeline_rules():
+    """The bench splitter keeps host prep in order, refuses interleaved
+    host-only transforms, and leaves keep_ratio resizes on the host."""
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '../..'))
+    from tools.analysis.bench_pretrain import split_device_aug_pipeline
+
+    pipe = [
+        dict(type='DecordInit'),
+        dict(type='DecordDecode'),
+        dict(type='Resize', scale=(-1, 256), keep_ratio=True),  # host prep
+        dict(type='RandomResizedCrop'),
+        dict(type='Resize', scale=(224, 224), keep_ratio=False),
+        dict(type='Flip', flip_ratio=0.5),
+        dict(type='Normalize', mean=[0] * 3, std=[1] * 3),
+        dict(type='Collect', keys=['imgs'], meta_keys=()),
+    ]
+    host, device = split_device_aug_pipeline(pipe, (256, 320))
+    assert [t['type'] for t in host] == [
+        'DecordInit', 'DecordDecode', 'Resize', 'DeviceAug', 'Collect']
+    assert host[2]['keep_ratio'] is True
+    assert [t['type'] for t in device] == ['RandomResizedCrop', 'Resize',
+                                           'Flip']
+    # a host-only transform after device ops must fail loudly
+    bad = pipe[:6] + [dict(type='RandomErasing')] + pipe[6:]
+    with pytest.raises(ValueError, match='RandomErasing'):
+        split_device_aug_pipeline(bad, (256, 320))
+
+
+def test_proc_worker_seeds_python_random(tmp_path):
+    """Process-pool workers must seed BOTH numpy and stdlib random —
+    MultiScaleCrop/RandomResizedCrop draw from the stdlib stream."""
+    import random
+
+    from vfs_tpu.datasets.builder import _proc_init
+
+    _proc_init(None, 123)
+    a = (random.random(), np.random.rand())
+    _proc_init(None, 123)
+    b = (random.random(), np.random.rand())
+    assert a == b  # same seed+pid -> identical streams

@@ -68,19 +68,45 @@ _DEVICE_AUG_TYPES = ('RandomResizedCrop', 'Resize', 'Flip', 'ColorJitter',
 
 
 def split_device_aug_pipeline(pipeline, staging):
-    """Split a host train pipeline: loading/sampling/decoding steps stay
-    on the host (+ a DeviceAug staging resize), the supported aug
-    transforms move to the device chain. Returns (host_pipeline,
-    device_transforms)."""
+    """Split a host train pipeline at the first device-supported aug
+    transform: everything before it stays on the host (in order), from
+    there on every transform must be device-supported or terminal
+    (Normalize/FormatShape/Collect/ToTensor) — an interleaved host-only
+    transform would silently reorder augmentation semantics, so it
+    raises instead. A keep_ratio Resize is host prep, not a device op.
+    Returns (host_pipeline, device_transforms)."""
+    def is_device_op(t):
+        typ = t['type']
+        if typ not in _DEVICE_AUG_TYPES:
+            return False
+        if typ == 'Resize' and t.get('keep_ratio', True):
+            return False  # short-side host prep resize
+        return True
+
     host, device = [], []
+    in_device = False
     for t in pipeline:
         typ = t['type']
-        if typ in _DEVICE_AUG_TYPES:
-            device.append(dict(t))
-        elif typ in ('Normalize', 'FormatShape', 'Collect', 'ToTensor'):
-            continue  # replaced by DeviceAug + device-side normalize
+        if not in_device:
+            if is_device_op(t):
+                in_device = True
+                device.append(dict(t))
+            elif typ in ('Normalize', 'FormatShape', 'Collect',
+                         'ToTensor'):
+                continue  # replaced by DeviceAug + device normalize
+            else:
+                host.append(dict(t))
         else:
-            host.append(dict(t))
+            if is_device_op(t):
+                device.append(dict(t))
+            elif typ in ('Normalize', 'FormatShape', 'Collect',
+                         'ToTensor'):
+                continue
+            else:
+                raise ValueError(
+                    f'--device-aug cannot move {typ!r} onto the device '
+                    f'and it appears AFTER device-side transforms — '
+                    f'reorder the pipeline or drop --device-aug')
     host.append(dict(type='DeviceAug', scale=(staging[1], staging[0])))
     host.append(dict(type='Collect', keys=['imgs', 'label', 'orig_hw'],
                      meta_keys=()))

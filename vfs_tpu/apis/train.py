@@ -179,12 +179,27 @@ def _load_backbone_pretrained(state: TrainState, cfg, logger) -> TrainState:
     pre = (backbone or {}).get('pretrained')
     if not pre:
         return state
+    if backbone.get('type') != 'ResNet':
+        raise ValueError(
+            f"backbone.pretrained={pre!r} is only supported for the 2D "
+            f"ResNet backbone (the torchvision layout the bridge maps); "
+            f"got type={backbone.get('type')!r} — load weights explicitly "
+            f"or drop the key")
     if '_backbone' not in state.params:
         logger.warning(f'backbone.pretrained={pre!r} set but the model '
                        "has no '_backbone' collection; not loaded")
         return state
     from ..checkpoint import load_torchvision_resnet
     params, stats = load_torchvision_resnet(pre)
+    # the checkpoint must actually fit this backbone (same tree + shapes)
+    # — installing a mismatched tree would surface later as a confusing
+    # optax/apply structure error
+    want = jax.tree.map(jnp.shape, state.params['_backbone'])
+    got = jax.tree.map(jnp.shape, params)
+    if want != got:
+        raise ValueError(
+            f'pretrained checkpoint {pre!r} does not match the '
+            f'configured backbone (depth/width mismatch?)')
     new_params = dict(state.params)
     new_params['_backbone'] = params
     new_stats = dict(state.batch_stats)

@@ -275,23 +275,26 @@ def train_localizer_model(model, dataset, cfg, validate: bool = False,
                 logger.info(f'checkpoint saved to {path}')
         if validate and (epoch + 1) % eval_interval == 0:
             sums: Dict[str, float] = {}
-            nb = 0
+            n_samples = 0
             val_rng = jax.random.PRNGKey(0)  # fixed: comparable epochs
             for batch in val_loader:
+                bn = len(next(iter(batch.values())))
                 tensors = shard_batch(prepare(model, batch), mesh)
                 log_vars = eval_step(state, tensors, val_rng)
+                # weight per-batch means by batch size so the ragged
+                # final batch doesn't overweight its samples (the
+                # reference LogBuffer averages the same way)
                 for k, v in log_vars.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-                nb += 1
-            if nb:
-                means = {k: v / nb for k, v in sums.items()}
+                    sums[k] = sums.get(k, 0.0) + float(v) * bn
+                n_samples += bn
+            if n_samples:
+                means = {k: v / n_samples for k, v in sums.items()}
                 msg = ', '.join(f'{k}: {v:.4f}' for k, v in means.items())
-                logger.info(f'Epoch [{epoch + 1}] val ({nb} batches): '
-                            + msg)
+                logger.info(f'Epoch [{epoch + 1}] val ({n_samples} '
+                            f'samples): ' + msg)
                 jsonl.log(dict(mode='val', epoch=epoch + 1, **means))
             else:
-                logger.warning('validation loader produced no batches '
-                               '(val set smaller than one batch?)')
+                logger.warning('validation loader produced no batches')
     return state
 
 

@@ -39,7 +39,13 @@ def _proc_init(dataset, seed):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
     import os
-    np.random.seed((int(seed) + os.getpid()) % (2 ** 31))
+    import random
+    worker_seed = (int(seed) + os.getpid()) % (2 ** 31)
+    np.random.seed(worker_seed)
+    # several transforms draw from the stdlib RNG too (RandomResizedCrop
+    # offsets, MultiScaleCrop choices — reference worker_init_fn seeds
+    # both streams)
+    random.seed(worker_seed)
 
 
 def _proc_fetch(indices):

@@ -401,7 +401,6 @@ class MultiScaleCrop:
         self.num_fixed_crops = num_fixed_crops
 
     def __call__(self, results):
-        import random
         img_h, img_w = results['img_shape']
         base_size = min(img_h, img_w)
         crop_sizes = [int(base_size * s) for s in self.scales]
