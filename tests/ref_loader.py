@@ -860,3 +860,32 @@ def load_reference_tin():
                                TemporalInterlace=tin.TemporalInterlace)
     _cache['tin'] = ns
     return ns
+
+
+def load_reference_ssn_head():
+    """Execute the reference SSNHead + STPP consensus verbatim
+    (mmaction/models/heads/ssn_head.py)."""
+    if 'ssn_head' in _cache:
+        return _cache['ssn_head']
+    load_reference()
+    registry_mod = sys.modules.get('refmm.models.registry')
+    if registry_mod is None:
+        registry_mod = types.ModuleType('refmm.models.registry')
+        sys.modules['refmm.models.registry'] = registry_mod
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    if not hasattr(registry_mod, 'HEADS'):
+        registry_mod.HEADS = _Reg()
+    if 'refmm.models.heads' not in sys.modules:
+        heads_pkg = types.ModuleType('refmm.models.heads')
+        heads_pkg.__path__ = []
+        sys.modules['refmm.models.heads'] = heads_pkg
+    mod = _exec_ref_module('refmm.models.heads.ssn_head',
+                           'mmaction/models/heads/ssn_head.py')
+    ns = types.SimpleNamespace(SSNHead=mod.SSNHead,
+                               STPPTrain=mod.STPPTrain)
+    _cache['ssn_head'] = ns
+    return ns

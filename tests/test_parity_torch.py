@@ -1640,3 +1640,58 @@ def test_alexnet_variants_parity():
         got = np.asarray(got).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4,
                                    err_msg=name)
+
+
+def test_ssn_head_stpp_parity():
+    """SSNHead with structured temporal pyramid pooling (STPPTrain) vs
+    the reference executed verbatim (ref heads/ssn_head.py:28-420):
+    activity/completeness/bbox outputs with shared fc weights, including
+    a multi-level pyramid stage."""
+    import jax
+
+    from ref_loader import load_reference_ssn_head
+
+    from vfs_tpu.models.registry import HEADS
+
+    ns = load_reference_ssn_head()
+    for stpp_stage, num_seg in [((1, 1, 1), (2, 5, 2)),
+                                ((1, (1, 2), 1), (2, 5, 2))]:
+        torch.manual_seed(13)
+        ref = ns.SSNHead(dropout_ratio=0, in_channels=32, num_classes=3,
+                         consensus=dict(type='STPPTrain',
+                                        stpp_stage=stpp_stage,
+                                        num_segments_list=num_seg))
+        ref.init_weights()
+        ref.eval()
+
+        n_props, segs = 3, sum(num_seg)
+        rng = np.random.RandomState(70)
+        x = rng.randn(n_props * segs, 32, 1, 1).astype(np.float32)
+        sf = rng.rand(n_props, 2).astype(np.float32)
+        with torch.no_grad():
+            want_a, want_c, want_b = ref(
+                (torch.from_numpy(x), torch.from_numpy(sf)))
+
+        ours = HEADS.get('SSNHead')(
+            dropout_ratio=0, in_channels=32, num_classes=3,
+            consensus=dict(type='STPPTrain', stpp_stage=stpp_stage,
+                           num_segments_list=num_seg))
+        xj = jnp.asarray(x[:, :, 0, 0])
+        v = ours.init(jax.random.PRNGKey(0), xj, jnp.asarray(sf),
+                      train=False)
+        params = jax.tree.map(np.asarray, v['params'])
+        sd = {k: t.numpy() for k, t in ref.state_dict().items()}
+        for fc in ('activity_fc', 'completeness_fc', 'regressor_fc'):
+            params[fc]['kernel'] = sd[f'{fc}.weight'].T
+            params[fc]['bias'] = sd[f'{fc}.bias']
+        got_a, got_c, got_b = ours.apply({'params': params}, xj,
+                                         jnp.asarray(sf), train=False)
+        np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f'activity {stpp_stage}')
+        np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f'completeness {stpp_stage}')
+        np.testing.assert_allclose(
+            np.asarray(got_b).reshape(want_b.shape), want_b.numpy(),
+            rtol=1e-4, atol=1e-5, err_msg=f'bbox {stpp_stage}')

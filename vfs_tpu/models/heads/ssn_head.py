@@ -174,8 +174,12 @@ class SSNHead(nn.Module):
         cfg = dict(self.consensus or dict(
             type='STPPTrain', stpp_cfg=(1, 1, 1), num_seg=(2, 5, 2)))
         cfg.pop('type', None)
-        stpp_cfg = cfg.pop('stpp_cfg', (1, (1, 2), 1))
-        num_seg = cfg.pop('num_seg', (2, 5, 2))
+        # accept the reference STPPTrain kwarg spellings too
+        # (ssn_head.py:38: stpp_stage / num_segments_list)
+        stpp_cfg = cfg.pop('stpp_cfg', cfg.pop('stpp_stage',
+                                               (1, (1, 2), 1)))
+        num_seg = cfg.pop('num_seg', cfg.pop('num_segments_list',
+                                             (2, 5, 2)))
         cfg.pop('standalong_classifier', None)
         self._consensus = STPPTrain(stpp_stage=stpp_cfg,
                                     num_segments_list=num_seg)
