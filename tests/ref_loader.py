@@ -889,3 +889,33 @@ def load_reference_ssn_head():
                                STPPTrain=mod.STPPTrain)
     _cache['ssn_head'] = ns
     return ns
+
+
+def load_reference_ssn_loss():
+    """Execute the reference SSNLoss + OHEMHingeLoss verbatim
+    (mmaction/models/losses/{ssn_loss,ohem_hinge_loss}.py)."""
+    if 'ssn_loss' in _cache:
+        return _cache['ssn_loss']
+    load_reference()
+    registry_mod = sys.modules.get('refmm.models.registry')
+    if registry_mod is None:
+        registry_mod = types.ModuleType('refmm.models.registry')
+        sys.modules['refmm.models.registry'] = registry_mod
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    if not hasattr(registry_mod, 'LOSSES'):
+        registry_mod.LOSSES = _Reg()
+    if 'refmm.models.losses' not in sys.modules:
+        pkg = types.ModuleType('refmm.models.losses')
+        pkg.__path__ = []
+        sys.modules['refmm.models.losses'] = pkg
+    _exec_ref_module('refmm.models.losses.ohem_hinge_loss',
+                     'mmaction/models/losses/ohem_hinge_loss.py')
+    mod = _exec_ref_module('refmm.models.losses.ssn_loss',
+                           'mmaction/models/losses/ssn_loss.py')
+    ns = types.SimpleNamespace(SSNLoss=mod.SSNLoss)
+    _cache['ssn_loss'] = ns
+    return ns

@@ -1695,3 +1695,42 @@ def test_ssn_head_stpp_parity():
         np.testing.assert_allclose(
             np.asarray(got_b).reshape(want_b.shape), want_b.numpy(),
             rtol=1e-4, atol=1e-5, err_msg=f'bbox {stpp_stage}')
+
+
+def test_ssn_loss_parity():
+    """SSNLoss (activity CE + OHEM-hinge completeness + class-wise
+    smooth-L1 regression) vs the reference executed verbatim (ref
+    losses/ssn_loss.py + ohem_hinge_loss.py) on the same proposal
+    batch."""
+    from ref_loader import load_reference_ssn_loss
+
+    from vfs_tpu.models.losses.ssn_loss import SSNLoss as OursLoss
+    from vfs_tpu.utils.config import ConfigDict
+
+    ref_loss = load_reference_ssn_loss().SSNLoss()
+    rng = np.random.RandomState(71)
+    # 2 videos x (1 positive + 6 incomplete + 1 background)
+    ptype = np.array([0, 1, 1, 1, 1, 1, 1, 2] * 2, np.int64)
+    labels = rng.randint(1, 4, 16).astype(np.int64)
+    labels[ptype == 2] = 0  # background class
+    act = rng.randn(16, 4).astype(np.float32)
+    comp = rng.randn(16, 3).astype(np.float32)
+    bbox = rng.randn(16, 3, 2).astype(np.float32) * 0.1
+    bbox_t = rng.randn(16, 2).astype(np.float32) * 0.1
+    train_cfg = ConfigDict(dict(ssn=ConfigDict(dict(
+        sampler=ConfigDict(dict(num_per_video=8, positive_ratio=1,
+                                background_ratio=1, incomplete_ratio=6)),
+        loss_weight=ConfigDict(dict(comp_loss_weight=0.1,
+                                    reg_loss_weight=0.1))))))
+
+    want = ref_loss(torch.from_numpy(act), torch.from_numpy(comp),
+                    torch.from_numpy(bbox), torch.from_numpy(ptype),
+                    torch.from_numpy(labels), torch.from_numpy(bbox_t),
+                    train_cfg)
+    got = OursLoss()(jnp.asarray(act), jnp.asarray(comp),
+                     jnp.asarray(bbox), jnp.asarray(ptype),
+                     jnp.asarray(labels), jnp.asarray(bbox_t),
+                     train_cfg)
+    for k in ('loss_activity', 'loss_completeness', 'loss_reg'):
+        assert float(np.mean(np.asarray(got[k]))) == pytest.approx(
+            float(want[k].mean()), rel=1e-4), k
