@@ -1734,3 +1734,68 @@ def test_ssn_loss_parity():
     for k in ('loss_activity', 'loss_completeness', 'loss_reg'):
         assert float(np.mean(np.asarray(got[k]))) == pytest.approx(
             float(want[k].mean()), rel=1e-4), k
+
+
+def test_bmn_loss_parity(monkeypatch):
+    """BMNLoss terms vs the reference executed verbatim (ref
+    losses/bmn_loss.py): TEM and PEM-cls are deterministic (exact); the
+    PEM-reg balanced-sampling term is compared with both sides fed the
+    SAME uniform fields (the reference draws torch.rand_like, ours a jax
+    key — the sampling algebra around the draws is what's under test)."""
+    import importlib.util
+
+    import jax
+
+    from ref_loader import _exec_ref_module, load_reference_ssn_loss
+    load_reference_ssn_loss()  # installs losses pkg + registry
+    _exec_ref_module(
+        'refmm.models.losses.binary_logistic_regression_loss',
+        'mmaction/models/losses/binary_logistic_regression_loss.py')
+    ref_mod = _exec_ref_module('refmm.models.losses.bmn_loss',
+                               'mmaction/models/losses/bmn_loss.py')
+    del importlib
+    ref = ref_mod.BMNLoss()
+
+    from vfs_tpu.models.losses.bmn_loss import BMNLoss as Ours
+    ours = Ours()
+    rng = np.random.RandomState(72)
+    t = 12
+    gt_iou = rng.rand(2, t, t).astype(np.float32)
+    mask = np.triu(np.ones((t, t), np.float32))[None].repeat(2, 0)
+    pred = rng.rand(2, t, t).astype(np.float32)
+    ps, pe = rng.rand(2, t).astype(np.float32), \
+        rng.rand(2, t).astype(np.float32)
+    gs = (rng.rand(2, t) > 0.6).astype(np.float32)
+    ge = (rng.rand(2, t) > 0.6).astype(np.float32)
+
+    # deterministic terms: exact
+    want = float(ref.tem_loss(torch.from_numpy(ps), torch.from_numpy(pe),
+                              torch.from_numpy(gs), torch.from_numpy(ge)))
+    got = float(ours.tem_loss(jnp.asarray(ps), jnp.asarray(pe),
+                              jnp.asarray(gs), jnp.asarray(ge)))
+    assert got == pytest.approx(want, rel=1e-5), 'tem'
+
+    want = float(ref.pem_cls_loss(torch.from_numpy(pred),
+                                  torch.from_numpy(gt_iou),
+                                  torch.from_numpy(mask)))
+    got = float(ours.pem_cls_loss(jnp.asarray(pred), jnp.asarray(gt_iou),
+                                  jnp.asarray(mask)))
+    assert got == pytest.approx(want, rel=1e-5), 'pem_cls'
+
+    # pem_reg: same uniform fields on both sides
+    u1 = rng.rand(2, t, t).astype(np.float32)
+    u2 = rng.rand(2, t, t).astype(np.float32)
+    seq_t = iter([u1, u2])
+    monkeypatch.setattr(torch, 'rand_like',
+                        lambda x: torch.from_numpy(next(seq_t)))
+    seq_j = iter([u1, u2])
+    monkeypatch.setattr(jax.random, 'uniform',
+                        lambda key, shape=None, **kw: jnp.asarray(
+                            next(seq_j)))
+    want = float(ref.pem_reg_loss(torch.from_numpy(pred),
+                                  torch.from_numpy(gt_iou),
+                                  torch.from_numpy(mask)))
+    got = float(ours.pem_reg_loss(jnp.asarray(pred), jnp.asarray(gt_iou),
+                                  jnp.asarray(mask),
+                                  jax.random.PRNGKey(0)))
+    assert got == pytest.approx(want, rel=1e-4), 'pem_reg'
