@@ -1799,3 +1799,83 @@ def test_bmn_loss_parity(monkeypatch):
                                   jnp.asarray(mask),
                                   jax.random.PRNGKey(0)))
     assert got == pytest.approx(want, rel=1e-4), 'pem_reg'
+
+
+def test_post_processing_and_ap_parity():
+    """Proposal post-processing (soft-NMS + duration rescale, ref
+    localizers/utils/post_processing.py) and AP@tIoU evaluation (ref
+    core/evaluation/accuracy.py:384) on the same synthetic results."""
+    import importlib.util
+    import sys as _sys
+    import types as _types
+
+    # post_processing imports `from mmaction.localization import soft_nms`
+    spec = importlib.util.spec_from_file_location(
+        'ref_prop2', '/root/reference/mmaction/localization/proposal_utils.py')
+    prop = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(prop)
+    mmaction = _sys.modules.get('mmaction') or _types.ModuleType('mmaction')
+    loc = _types.ModuleType('mmaction.localization')
+    loc.soft_nms = prop.soft_nms
+    mmaction.localization = loc
+    _sys.modules['mmaction'] = mmaction
+    _sys.modules['mmaction.localization'] = loc
+    spec = importlib.util.spec_from_file_location(
+        'ref_pp',
+        '/root/reference/mmaction/models/localizers/utils/post_processing.py')
+    ref_pp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_pp)
+
+    from vfs_tpu.localization.proposal_utils import \
+        post_processing as our_pp
+
+    rng = np.random.RandomState(73)
+    tmin = np.sort(rng.rand(40))
+    result = np.stack([tmin, np.clip(tmin + rng.rand(40) * 0.2, 0, 1),
+                       rng.rand(40), rng.rand(40), rng.rand(40)], axis=1)
+    video_info = dict(duration_frame=960, duration_second=32.0)
+    want = ref_pp.post_processing(result.copy(), video_info, 0.4, 0.3,
+                                  0.7, 10)
+    got = our_pp(result.copy(), video_info, 0.4, 0.3, 0.7, 10)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a['score'] == pytest.approx(b['score'], abs=1e-8)
+        np.testing.assert_allclose(a['segment'], b['segment'], atol=1e-8)
+
+    # AP at tIoU thresholds
+    spec = importlib.util.spec_from_file_location(
+        'ref_acc2', '/root/reference/mmaction/core/evaluation/accuracy.py')
+    ref_acc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_acc)
+    from vfs_tpu.localization import average_precision_at_temporal_iou
+    gt = {f'v{i}': np.sort(rng.rand(3, 2) * 50, axis=1) for i in range(5)}
+    rows = []
+    for i, k in enumerate(sorted(gt)):
+        seg = np.sort(rng.rand(15, 2) * 50, axis=1)
+        score = rng.rand(15)
+        for j in range(15):
+            rows.append([k, 0, seg[j, 0], seg[j, 1], score[j]])
+    preds = np.array(rows, dtype=object)
+    thr = np.array([0.5, 0.75])
+    # Reference quirk, pinned: its pairwise_temporal_iou ALWAYS returns
+    # 2-D (n, 1) for a 1-D candidate (accuracy.py:420, contradicting its
+    # own docstring), so argsort()[::-1] in the AP loop yields jdx=[0]
+    # forever and ONLY gt index 0 can ever match — multi-GT videos are
+    # undercounted. We follow the documented semantics (squeezed IoU).
+    buggy = ref_acc.average_precision_at_temporal_iou(gt, preds, thr)
+    orig_pairwise = ref_acc.pairwise_temporal_iou
+
+    def squeezed(cand, targ):
+        out = orig_pairwise(cand, targ)
+        return out[:, 0] if (np.asarray(cand).ndim == 1
+                             and out.ndim == 2) else out
+
+    ref_acc.pairwise_temporal_iou = squeezed
+    try:
+        want = ref_acc.average_precision_at_temporal_iou(gt, preds, thr)
+    finally:
+        ref_acc.pairwise_temporal_iou = orig_pairwise
+    got = average_precision_at_temporal_iou(gt, preds, thr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-8)
+    assert np.asarray(buggy)[0] < np.asarray(want)[0]  # quirk is real
