@@ -1879,3 +1879,89 @@ def test_post_processing_and_ap_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-8)
     assert np.asarray(buggy)[0] < np.asarray(want)[0]  # quirk is real
+
+
+def test_bsn_utils_parity(tmp_path):
+    """BSN proposal generation + BSP feature construction (ref
+    localization/bsn_utils.py, executed verbatim) on the same synthetic
+    TEM outputs and proposal files."""
+    import importlib.util
+    import sys as _sys
+    import types as _types
+
+    spec = importlib.util.spec_from_file_location(
+        'ref_prop3', '/root/reference/mmaction/localization/proposal_utils.py')
+    prop = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(prop)
+    pkg = _types.ModuleType('refloc')
+    pkg.__path__ = []
+    pkg.temporal_iop = prop.temporal_iop
+    pkg.temporal_iou = prop.temporal_iou
+    _sys.modules['refloc'] = pkg
+    _sys.modules['refloc.proposal_utils'] = prop
+    spec = importlib.util.spec_from_file_location(
+        'refloc.bsn_utils',
+        '/root/reference/mmaction/localization/bsn_utils.py')
+    ref_bsn = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_bsn)
+
+    from vfs_tpu.localization import bsn_utils as our_bsn
+
+    tscale = 24
+    rng = np.random.RandomState(74)
+    tem_dir = tmp_path / 'tem'
+    tem_dir.mkdir()
+    infos = []
+    for v in range(2):
+        name = f'v_{v:02d}'
+        action = rng.rand(tscale)
+        start = np.clip(rng.rand(tscale) + np.sin(
+            np.linspace(0, 6, tscale)) * 0.4, 0, 1)
+        end = np.clip(rng.rand(tscale) + np.cos(
+            np.linspace(0, 6, tscale)) * 0.4, 0, 1)
+        rows = np.stack([action, start, end,
+                         np.arange(tscale) / tscale,
+                         (np.arange(tscale) + 1) / tscale], axis=1)
+        with open(tem_dir / f'{name}.csv', 'w') as f:
+            f.write('action,start,end,tmin,tmax\n')
+            f.write('\n'.join(','.join(f'{x:.6f}' for x in r)
+                              for r in rows))
+        s0 = float(rng.uniform(5, 15))
+        infos.append(dict(video_name=name, duration_frame=720,
+                          duration_second=24.0, feature_frame=716,
+                          annotations=[dict(segment=[s0, s0 + 5.0],
+                                            label='T')]))
+
+    want = ref_bsn.generate_candidate_proposals(
+        [0, 1], infos, str(tem_dir), tscale, 0.5)
+    got = our_bsn.generate_candidate_proposals(
+        [0, 1], infos, str(tem_dir), tscale, 0.5)
+    assert set(got) == set(want)
+    for k in want:
+        a, b = np.asarray(got[k], float), np.asarray(want[k], float)
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=k)
+
+    # BSP features from those proposals
+    pgm_dir = tmp_path / 'proposals'
+    pgm_dir.mkdir()
+    for k, rows in want.items():
+        arr = np.asarray(rows, float)
+        with open(pgm_dir / f'{k}.csv', 'w') as f:
+            f.write('tmin,tmax,tmin_score,tmax_score,score,match_iou,'
+                    'match_ioa\n')
+            f.write('\n'.join(','.join(f'{x:.6f}' for x in r)
+                              for r in arr))
+    kw = dict(top_k=8, bsp_boundary_ratio=0.2, num_sample_start=8,
+              num_sample_end=8, num_sample_action=16,
+              num_sample_interp=3, tem_results_ext='.csv',
+              pgm_proposal_ext='.csv')
+    want_f = ref_bsn.generate_bsp_feature(
+        [0, 1], infos, str(tem_dir), str(pgm_dir), **kw)
+    got_f = our_bsn.generate_bsp_feature(
+        [0, 1], infos, str(tem_dir), str(pgm_dir), **kw)
+    assert set(got_f) == set(want_f)
+    for k in want_f:
+        np.testing.assert_allclose(np.asarray(got_f[k]),
+                                   np.asarray(want_f[k]), atol=1e-5,
+                                   err_msg=k)
