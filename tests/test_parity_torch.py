@@ -1965,3 +1965,42 @@ def test_bsn_utils_parity(tmp_path):
         np.testing.assert_allclose(np.asarray(got_f[k]),
                                    np.asarray(want_f[k]), atol=1e-5,
                                    err_msg=k)
+
+
+def test_ssn_stpp_test_pooling_parity():
+    """Test-time STPP (variable proposal ticks, ref ssn_head.py:126-268)
+    vs the reference executed verbatim on the same raw scores."""
+    import sys as _sys
+
+    from ref_loader import load_reference_ssn_head
+    load_reference_ssn_head()
+    ref_mod = _sys.modules['refmm.models.heads.ssn_head']
+    from vfs_tpu.models.heads.ssn_head import STPPTest as Ours
+
+    num_classes = 3
+    ref_probe = ref_mod.STPPTest(num_classes=num_classes,
+                                 use_regression=True,
+                                 stpp_stage=(1, (1, 2), 1))
+    feat_dim = ref_probe.feat_dim
+    rng = np.random.RandomState(75)
+    t = 40
+    x = rng.randn(t, feat_dim).astype(np.float32)
+    ticks = np.array([[2, 8, 20, 26], [0, 4, 30, 40]], np.int64)
+    sf = np.array([[0.7, 0.8], [0.5, 0.9]], np.float32)
+
+    ref = ref_mod.STPPTest(num_classes=num_classes, use_regression=True,
+                           stpp_stage=(1, (1, 2), 1))
+    with torch.no_grad():
+        want_a, want_c, want_r = ref(torch.from_numpy(x),
+                                     torch.from_numpy(ticks),
+                                     torch.from_numpy(sf))
+    ours = Ours(num_classes=num_classes, use_regression=True,
+                stpp_stage=(1, (1, 2), 1))
+    got_a, got_c, got_r = ours(x, ticks, sf)
+    np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_r).reshape(want_r.shape), want_r.numpy(),
+        rtol=1e-4, atol=1e-5)
