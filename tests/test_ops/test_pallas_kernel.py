@@ -166,3 +166,29 @@ def test_pallas_extract_modes_identical():
         for mode in ('mask', 'descent')
     }
     np.testing.assert_array_equal(outs['mask'], outs['descent'])
+
+
+def test_pallas_store_modes_identical():
+    """'memset' (pre-fill pad lanes once, store unpadded rows) must be
+    bit-identical to the default per-frame padded-concat store.
+    Measured on v5e: no speed difference (6.91 vs 6.88 ms/frame) — the
+    per-frame concatenate is not a cost; the flag documents the
+    negative result."""
+    rng = np.random.RandomState(6)
+    h, w, f, c, k, topk = 12, 14, 4, 16, 3, 4
+    radius, tile = 3, (4, 8)
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    bank_f = l2_normalize(
+        jnp.asarray(rng.randn(f, h, w, c), jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.ones((f,), jnp.int32)
+    qp = pad_for_pallas(query, h, w, radius, tile)
+    bp = pad_for_pallas(bank_f, h, w, radius, tile)
+    outs = {
+        sm: np.asarray(pallas_local_topk_attend(
+            qp, bp, bank_v, valid, radius=radius, temperature=0.07,
+            topk=topk, h=h, w=w, tile=tile, interpret=True,
+            store_mode=sm))
+        for sm in ('concat', 'memset')
+    }
+    np.testing.assert_array_equal(outs['concat'], outs['memset'])

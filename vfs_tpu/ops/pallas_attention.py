@@ -45,7 +45,7 @@ def _round_up(x, m):
 def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                  temperature, extract_mode='mask',
                  scores_dtype=jnp.float32, fetch_mode='perframe',
-                 feat_dtype=jnp.float32):
+                 feat_dtype=jnp.float32, store_mode='concat'):
     # Mosaic constraints: HBM DMA slice offsets on the second-to-last dim
     # must be 8-aligned -> the W padding is rounded up to 8 (rw) and key
     # blocks are fetched at the tile origin with width tw + 2*rw; the mask
@@ -94,6 +94,10 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
 
             key_copy(0, 0).start()
         q = q_buf[:].reshape(q_n, c)
+        if store_mode == 'memset' and kb_pad > kb_n:
+            # fill the pad lanes once instead of re-concatenating a
+            # padded copy every frame (A/B experiment)
+            scores_buf[:] = jnp.full((q_n, total_k), NEG_INF, scores_dtype)
 
         def frame_body(f, _):
             if fetch_mode == 'whole':
@@ -122,15 +126,18 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
             # bf16 scores (the extraction passes sweep half the bytes;
             # bf16 shares f32's exponent so NEG_INF survives the cast)
             scores = scores.astype(scores_dtype)
-            if kb_pad > kb_n:
-                scores = jnp.concatenate(
-                    [scores,
-                     jnp.full((q_n, kb_pad - kb_n), NEG_INF, scores_dtype)],
-                    axis=1)
             # kb_pad is a 128-multiple, so the dynamic lane offset is
             # provably aligned
             off = pl.multiple_of(f * kb_pad, 128)
-            scores_buf[:, pl.ds(off, kb_pad)] = scores
+            if store_mode == 'memset' and kb_pad > kb_n:
+                scores_buf[:, pl.ds(off, kb_n)] = scores
+            else:
+                if kb_pad > kb_n:
+                    scores = jnp.concatenate(
+                        [scores,
+                         jnp.full((q_n, kb_pad - kb_n), NEG_INF,
+                                  scores_dtype)], axis=1)
+                scores_buf[:, pl.ds(off, kb_pad)] = scores
             return 0
 
         lax.fori_loop(0, f_frames, frame_body, 0)
@@ -195,7 +202,7 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'tile', 'h', 'w',
                      'interpret', 'extract_mode', 'scores_dtype',
-                     'fetch_mode', 'matmul_precision'))
+                     'fetch_mode', 'matmul_precision', 'store_mode'))
 def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              bank_feats: jnp.ndarray,
                              bank_vals: jnp.ndarray,
@@ -210,8 +217,8 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              extract_mode: str = 'mask',
                              scores_dtype: str = 'float32',
                              fetch_mode: str = 'perframe',
-                             matmul_precision: str = 'float32'
-                             ) -> jnp.ndarray:
+                             matmul_precision: str = 'float32',
+                             store_mode: str = 'concat') -> jnp.ndarray:
     """Fused masked top-k attention over one query frame.
 
     Args:
@@ -264,7 +271,8 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n = _make_kernel(
         th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
         float(temperature), extract_mode, scores_dtype=s_dtype,
-        fetch_mode=fetch_mode, feat_dtype=feat_dtype)
+        fetch_mode=fetch_mode, feat_dtype=feat_dtype,
+        store_mode=store_mode)
 
     # precomputed per-tile additive mask (nth, ntw, q_n, kb_n)
     qi, qj = jnp.divmod(jnp.arange(q_n), tw)

@@ -64,6 +64,10 @@ class PropagationConfig(NamedTuple):
     # one native MXU pass instead of the 6-pass fp32 emulation and key
     # DMA/VMEM bytes halve; scores + top-k extraction stay fp32
     pallas_precision: str = 'float32'
+    # 'memset' pre-fills the scores buffer's pad lanes once per tile and
+    # stores unpadded score rows (vs re-concatenating a padded copy
+    # every frame); exact either way
+    pallas_store: str = 'concat'
     # run the kernel in pallas interpret mode (CPU testing only)
     pallas_interpret: bool = False
 
@@ -284,6 +288,7 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
             tile=tile, scores_dtype=cfg.pallas_scores,
             fetch_mode=cfg.pallas_fetch,
             matmul_precision=cfg.pallas_precision,
+            store_mode=cfg.pallas_store,
             interpret=cfg.pallas_interpret)
         slot = 1 + jnp.mod(t, p)
         bank_feats = jax.lax.dynamic_update_index_in_dim(
