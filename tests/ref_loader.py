@@ -919,3 +919,91 @@ def load_reference_ssn_loss():
     ns = types.SimpleNamespace(SSNLoss=mod.SSNLoss)
     _cache['ssn_loss'] = ns
     return ns
+
+
+def load_reference_tin_lr():
+    """Execute the reference TINLrUpdaterHook verbatim
+    (mmaction/core/lr/tin_lr_hook.py:1-45). The mmcv LrUpdaterHook base
+    driver (before_run/before_train_epoch/before_train_iter dispatch and
+    annealing_cos) is stubbed to mmcv v1.x semantics; the warmup ramp and
+    shifted-cosine get_lr under test are the reference's own code."""
+    import math
+
+    if 'tin_lr' in _cache:
+        return _cache['tin_lr']
+    if 'mmcv' not in sys.modules:
+        sys.modules.update(_build_mmcv_stub())
+
+    def annealing_cos(start, end, factor, weight=1):
+        cos_out = math.cos(math.pi * factor) + 1
+        return end + 0.5 * weight * (start - end) * cos_out
+
+    class LrUpdaterHook:
+        def __init__(self, by_epoch=True, warmup=None, warmup_iters=0,
+                     warmup_ratio=0.1, warmup_by_epoch=False):
+            self.by_epoch = by_epoch
+            self.warmup = warmup
+            self.warmup_iters = warmup_iters
+            self.warmup_ratio = warmup_ratio
+            self.warmup_by_epoch = warmup_by_epoch
+            self.base_lr = []
+            self.regular_lr = []
+
+        def _set_lr(self, runner, lr_groups):
+            for group, lr in zip(runner.optimizer.param_groups, lr_groups):
+                group['lr'] = lr
+
+        def get_lr(self, runner, base_lr):
+            raise NotImplementedError
+
+        def get_regular_lr(self, runner):
+            return [self.get_lr(runner, b) for b in self.base_lr]
+
+        def before_run(self, runner):
+            for group in runner.optimizer.param_groups:
+                group.setdefault('initial_lr', group['lr'])
+            self.base_lr = [g['initial_lr']
+                            for g in runner.optimizer.param_groups]
+
+        def before_train_epoch(self, runner):
+            if not self.by_epoch:
+                return
+            self.regular_lr = self.get_regular_lr(runner)
+            self._set_lr(runner, self.regular_lr)
+
+        def before_train_iter(self, runner):
+            cur_iter = runner.iter
+            if not self.by_epoch:
+                self.regular_lr = self.get_regular_lr(runner)
+                if self.warmup is None or cur_iter >= self.warmup_iters:
+                    self._set_lr(runner, self.regular_lr)
+                else:
+                    self._set_lr(runner, self.get_warmup_lr(cur_iter))
+            else:
+                if self.warmup is None or cur_iter > self.warmup_iters:
+                    return
+                elif cur_iter == self.warmup_iters:
+                    self._set_lr(runner, self.regular_lr)
+                else:
+                    self._set_lr(runner, self.get_warmup_lr(cur_iter))
+
+    runner_mod = sys.modules['mmcv.runner']
+    runner_mod.LrUpdaterHook = LrUpdaterHook
+    if not hasattr(runner_mod, 'HOOKS'):
+        class _Reg:
+            def register_module(self, *a, **k):
+                return lambda cls: cls
+        runner_mod.HOOKS = _Reg()
+    hooks_pkg = types.ModuleType('mmcv.runner.hooks')
+    lr_updater = types.ModuleType('mmcv.runner.hooks.lr_updater')
+    lr_updater.annealing_cos = annealing_cos
+    hooks_pkg.lr_updater = lr_updater
+    runner_mod.hooks = hooks_pkg
+    sys.modules.update({'mmcv.runner.hooks': hooks_pkg,
+                        'mmcv.runner.hooks.lr_updater': lr_updater})
+    mod = _exec_ref_module('refmm.core.lr.tin_lr_hook',
+                           'mmaction/core/lr/tin_lr_hook.py')
+    ns = types.SimpleNamespace(TINLrUpdaterHook=mod.TINLrUpdaterHook,
+                               LrUpdaterHook=LrUpdaterHook)
+    _cache['tin_lr'] = ns
+    return ns

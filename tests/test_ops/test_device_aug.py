@@ -107,12 +107,14 @@ def test_color_jitter_matches_host():
     from vfs_tpu.datasets.pipelines.augmentations import ColorJitter
     rng = np.random.RandomState(3)
     img = rng.randint(30, 220, (20, 24, 3), np.uint8)
-    params = (1.2, 0.9, 1.3, 0.03)
+    order = (3, 0, 2, 1)
+    params = (1.2, 0.9, 1.3, 0.03, order)
     ref = ColorJitter._apply(img, params).astype(np.float32)
     out = np.asarray(color_jitter(
         jnp.asarray(img[None], jnp.float32),
-        *(jnp.asarray([v], jnp.float32) for v in params),
-        jnp.asarray([True])))
+        *(jnp.asarray([v], jnp.float32) for v in params[:4]),
+        jnp.asarray([True]),
+        jnp.asarray([order], jnp.int32)))
     # host path quantizes to uint8 before/after HSV; allow that rounding
     assert np.abs(out[0] - ref).mean() < 3.0
     assert np.median(np.abs(out[0] - ref)) < 2.0
@@ -359,8 +361,16 @@ def test_proc_worker_seeds_python_random(tmp_path):
 
     from vfs_tpu.datasets.builder import _proc_init
 
-    _proc_init(None, 123)
+    import multiprocessing
+
+    c1 = multiprocessing.get_context('spawn').Value('i', 0)
+    _proc_init(None, 123, c1)
     a = (random.random(), np.random.rand())
-    _proc_init(None, 123)
+    c2 = multiprocessing.get_context('spawn').Value('i', 0)
+    _proc_init(None, 123, c2)
     b = (random.random(), np.random.rand())
-    assert a == b  # same seed+pid -> identical streams
+    assert a == b  # same seed + worker ordinal -> identical streams
+    # second worker from the same counter draws a DIFFERENT stream
+    _proc_init(None, 123, c2)
+    c = (random.random(), np.random.rand())
+    assert c != b

@@ -2004,3 +2004,50 @@ def test_ssn_stpp_test_pooling_parity():
     np.testing.assert_allclose(
         np.asarray(got_r).reshape(want_r.shape), want_r.numpy(),
         rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------- TIN LR ---
+@pytest.mark.parametrize('warmup,by_epoch', [
+    ('linear', False), ('constant', False), ('exp', False),
+    ('linear', True), (None, False)])
+def test_tin_lr_schedule_parity(warmup, by_epoch):
+    """TIN lr policy (reference mmaction/core/lr/tin_lr_hook.py:1-45):
+    the reference hook executed verbatim over a fake runner vs
+    vfs_tpu's `policy='TIN'` optax schedule, iter by iter."""
+    import types as _types
+
+    from ref_loader import load_reference_tin_lr
+
+    from vfs_tpu.core.optimizer.builder import build_lr_schedule
+
+    ref_ns = load_reference_tin_lr()
+    base_lr, min_lr = 0.05, 0.001
+    ipe, max_epochs = 7, 12
+    max_iters = ipe * max_epochs
+    wu_iters = 10
+
+    kwargs = dict(by_epoch=by_epoch)
+    if warmup is not None:
+        kwargs.update(warmup=warmup, warmup_iters=wu_iters,
+                      warmup_ratio=0.1)
+    hook = ref_ns.TINLrUpdaterHook(min_lr=min_lr, **kwargs)
+    runner = _types.SimpleNamespace(
+        optimizer=_types.SimpleNamespace(param_groups=[{'lr': base_lr}]),
+        iter=0, epoch=0, max_epochs=max_epochs, max_iters=max_iters)
+    hook.before_run(runner)
+    want = []
+    it = 0
+    for epoch in range(max_epochs):
+        runner.epoch = epoch
+        hook.before_train_epoch(runner)
+        for _ in range(ipe):
+            runner.iter = it
+            hook.before_train_iter(runner)
+            want.append(runner.optimizer.param_groups[0]['lr'])
+            it += 1
+
+    lr_cfg = dict(policy='TIN', min_lr=min_lr, **kwargs)
+    sched = build_lr_schedule(lr_cfg, base_lr, total_iters=max_iters,
+                              iters_per_epoch=ipe)
+    got = [float(sched(i)) for i in range(max_iters)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

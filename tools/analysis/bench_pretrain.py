@@ -83,6 +83,11 @@ def split_device_aug_pipeline(pipeline, staging):
             return False  # short-side host prep resize
         return True
 
+    if any(t['type'] == 'DeviceAug' for t in pipeline):
+        # already a device-aug pipeline (e.g. the *_deviceaug config):
+        # splitting again would stack a second DeviceAug onto 5-D arrays
+        return [dict(t) for t in pipeline], None
+
     host, device = [], []
     in_device = False
     for t in pipeline:
@@ -171,6 +176,8 @@ def main():
         host_pipe, dev_transforms = split_device_aug_pipeline(
             inner['pipeline'], tuple(args.staging))
         inner['pipeline'] = host_pipe
+        if dev_transforms is None:  # config already split (device_aug key)
+            dev_transforms = cfg.device_aug['transforms']
         device_aug_fn = build_device_aug(dev_transforms, cfg.img_norm_cfg)
         print(f'device-aug: {len(dev_transforms)} transforms on TPU, '
               f'staging {tuple(args.staging)} uint8')

@@ -125,8 +125,12 @@ def make_train_step(model, tx, mixed_precision: bool = False,
         norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
         norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
     # Seeded from the config so seed sweeps decorrelate dropout too;
-    # folded with the step counter for a fresh mask every step.
-    dropout_rng = jax.random.PRNGKey(seed)
+    # folded with the step counter for a fresh mask every step, and with
+    # the process index so multi-host shards draw independent aug/dropout
+    # params (the reference decorrelates via per-worker seeds,
+    # datasets/builder.py:111-117).
+    dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                     jax.process_index())
     aug_rng = jax.random.fold_in(dropout_rng, 0x617567)  # 'aug' stream
 
     def train_step(state: TrainState, imgs, labels=None, orig_hw=None):

@@ -25,8 +25,50 @@ def build_lr_schedule(lr_config: Optional[Dict], base_lr: float,
     warmup = cfg.pop('warmup', None)
     warmup_iters = cfg.pop('warmup_iters', 0)
     warmup_ratio = cfg.pop('warmup_ratio', 0.1)
+    raw_warmup_iters = warmup_iters  # mmcv semantics: always iterations
     if by_epoch and warmup_iters:
         warmup_iters *= iters_per_epoch
+
+    if policy.lower() == 'tin':
+        # Replicates the reference TINLrUpdaterHook
+        # (reference mmaction/core/lr/tin_lr_hook.py:1-45): cosine annealing
+        # whose progress is SHIFTED by warmup_iters (negative during warmup),
+        # multiplied during warmup by the TIN ramp
+        # k = warmup_ratio + (1-warmup_ratio)*i/warmup_iters (linear),
+        # k = warmup_ratio (constant) or k = warmup_ratio**(1-i/wu) (exp).
+        # Reference quirk kept: with by_epoch=True, get_lr subtracts the
+        # *iteration*-denominated warmup_iters from the *epoch* progress
+        # (tin_lr_hook.py:35-38) — units deliberately mixed to match.
+        import jax.numpy as jnp
+        min_lr = cfg.pop('min_lr', 0.0)
+        wu = raw_warmup_iters  # iteration-denominated, as in mmcv
+        max_epochs = total_iters / max(iters_per_epoch, 1)
+
+        def tin_schedule(count):
+            i = jnp.asarray(count, jnp.float32)
+            if by_epoch:
+                progress = jnp.floor(i / iters_per_epoch)
+                max_progress = float(max_epochs)
+            else:
+                progress = i
+                max_progress = float(total_iters)
+            if warmup is not None:
+                progress = progress - wu
+                max_progress = max_progress - wu
+            factor = progress / max_progress
+            reg = min_lr + 0.5 * (base_lr - min_lr) * (
+                jnp.cos(jnp.pi * factor) + 1.0)
+            if warmup == 'linear':
+                k = (i / wu) * (1 - warmup_ratio) + warmup_ratio
+            elif warmup == 'constant':
+                k = jnp.asarray(warmup_ratio, jnp.float32)
+            elif warmup == 'exp':
+                k = warmup_ratio ** (1 - i / wu)
+            else:
+                return reg
+            return jnp.where(i < wu, reg * k, reg)
+
+        return tin_schedule
 
     if policy.lower() in ('cosineannealing', 'cosine'):
         min_lr = cfg.pop('min_lr', 0.0)

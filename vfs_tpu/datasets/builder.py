@@ -32,15 +32,20 @@ def build_dataset(cfg, default_args=None):
 _WORKER_DATASET = None
 
 
-def _proc_init(dataset, seed):
+def _proc_init(dataset, seed, ordinal_counter):
     """Worker bootstrap: install the dataset and derive a per-worker seed
-    (reference datasets/builder.py:111-117 worker_init_fn; PID stands in
-    for the worker id — spawn cannot inherit a shared counter)."""
+    (reference datasets/builder.py:111-117 worker_init_fn: deterministic
+    ``seed + worker_id``). The worker ordinal comes from a shared
+    multiprocessing counter passed through initargs, so seeds are stable
+    across runs with a fixed config seed — unlike a PID, which changes
+    every launch."""
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
-    import os
     import random
-    worker_seed = (int(seed) + os.getpid()) % (2 ** 31)
+    with ordinal_counter.get_lock():
+        worker_id = ordinal_counter.value
+        ordinal_counter.value += 1
+    worker_seed = (int(seed) + worker_id) % (2 ** 31)
     np.random.seed(worker_seed)
     # several transforms draw from the stdlib RNG too (RandomResizedCrop
     # offsets, MultiScaleCrop choices — reference worker_init_fn seeds
@@ -148,10 +153,11 @@ class DataLoader:
                 self.worker_type = 'thread'
                 return None
             ctx = multiprocessing.get_context('spawn')
+            counter = ctx.Value('i', 0)  # stable worker ordinals
             self._pool = concurrent.futures.ProcessPoolExecutor(
                 max_workers=self.num_workers, mp_context=ctx,
                 initializer=_proc_init,
-                initargs=(self.dataset, self.sampler.seed))
+                initargs=(self.dataset, self.sampler.seed, counter))
         return self._pool
 
     def close(self):
@@ -182,18 +188,25 @@ class DataLoader:
         window = self.num_workers + self.prefetch
         nbatch = len(batches)
         submitted = 0
-        while submitted < min(window, nbatch):
-            inflight.append(pool.submit(_proc_fetch,
-                                        batches[submitted].tolist()))
-            submitted += 1
-        while inflight:
-            fut = inflight.popleft()
-            batch = fut.result()  # propagates worker exceptions
-            if submitted < nbatch:
-                inflight.append(pool.submit(
-                    _proc_fetch, batches[submitted].tolist()))
+        try:
+            while submitted < min(window, nbatch):
+                inflight.append(pool.submit(_proc_fetch,
+                                            batches[submitted].tolist()))
                 submitted += 1
-            yield batch
+            while inflight:
+                fut = inflight.popleft()
+                batch = fut.result()  # propagates worker exceptions
+                if submitted < nbatch:
+                    inflight.append(pool.submit(
+                        _proc_fetch, batches[submitted].tolist()))
+                    submitted += 1
+                yield batch
+        finally:
+            # abandoned iterator (generator close): stop queued decodes
+            # instead of letting up to window batches keep burning the
+            # 1-core host in the background
+            for fut in inflight:
+                fut.cancel()
 
     def __iter__(self) -> Iterator[dict]:
         indices = self.sampler.indices(self.epoch)

@@ -280,24 +280,43 @@ class ColorJitter:
         s = np.random.uniform(max(0, 1 - self.saturation),
                               1 + self.saturation)
         h = np.random.uniform(-self.hue, self.hue)
-        return (b, c, s, h)
+        # torchvision get_params applies the four ops in a random
+        # permutation (the reference delegates to torchvision,
+        # augmentations.py:1304-1306); torch's randperm stream is
+        # approximated with the np stream here
+        order = tuple(np.random.permutation(4))
+        return (b, c, s, h, order)
 
     @staticmethod
     def _apply(img, params):
+        """torchvision adjust_* semantics in float math (cv2 HSV for the
+        hue rotate — not PIL-bit-exact, a documented approximation):
+        contrast blends against the GRAYSCALE mean and saturation blends
+        each pixel toward its grayscale value, ops in ``params`` order."""
         import cv2
         if params is None:
             return img
-        b, c, s, h = params
+        b, c, s, h, order = params
+        gray_w = np.array([0.299, 0.587, 0.114], np.float32)
         img = img.astype(np.float32)
-        img = img * b  # brightness
-        mean = img.mean()
-        img = (img - mean) * c + mean  # contrast
-        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                           cv2.COLOR_RGB2HSV).astype(np.float32)
-        hsv[..., 1] *= s
-        hsv[..., 0] = (hsv[..., 0] + h * 180) % 180
-        hsv = np.clip(hsv, 0, [179, 255, 255]).astype(np.uint8)
-        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        for op in order:
+            if op == 0:  # brightness
+                img = np.clip(img * b, 0, 255)
+            elif op == 1:  # contrast (gray-mean blend)
+                mean = (img @ gray_w).mean()
+                img = np.clip((img - mean) * c + mean, 0, 255)
+            elif op == 2:  # saturation (per-pixel gray blend)
+                g = (img @ gray_w)[..., None]
+                img = np.clip(g + (img - g) * s, 0, 255)
+            else:  # hue
+                hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                                   cv2.COLOR_RGB2HSV).astype(np.float32)
+                hsv[..., 0] = (hsv[..., 0] + h * 180) % 180
+                hsv = np.clip(hsv, 0,
+                              [179, 255, 255]).astype(np.uint8)
+                img = cv2.cvtColor(hsv,
+                                   cv2.COLOR_HSV2RGB).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.uint8)
 
     def __call__(self, results):
         params = self._sample()

@@ -163,21 +163,44 @@ def hsv_to_rgb(hdeg: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray
 
 
 def color_jitter(x: jnp.ndarray, bright: jnp.ndarray, contrast: jnp.ndarray,
-                 sat: jnp.ndarray, hue: jnp.ndarray, apply: jnp.ndarray
-                 ) -> jnp.ndarray:
-    """Host ColorJitter._apply math on (F, H, W, 3) float [0,255]
-    (reference augmentations.py:1280-1320): brightness scale, contrast
-    blend with the frame mean, then HSV saturation scale + hue rotate.
+                 sat: jnp.ndarray, hue: jnp.ndarray, apply: jnp.ndarray,
+                 order: jnp.ndarray) -> jnp.ndarray:
+    """torchvision ColorJitter semantics on (F, H, W, 3) float [0,255].
+
+    The reference's ColorJitter (augmentations.py:1280-1320) delegates to
+    ``torchvision.transforms.ColorJitter.get_params``, which applies the
+    four adjustments in a RANDOM PERMUTATION per parameter draw;
+    adjust_contrast blends against the mean of the GRAYSCALE image and
+    adjust_saturation blends each pixel toward its grayscale value.
+    ``order``: (F, 4) int32 permutation of op ids per frame. Each step
+    clips to [0, 255] approximating torchvision's uint8 round-trip
+    (float math, not bit-parity — the acknowledged device-aug non-goal).
     Per-frame params (F,) broadcast; ``apply`` gates the whole op."""
     e = (Ellipsis, None, None)  # (F,) -> (F, 1, 1)
-    y = x * bright[e + (None,)]
-    mean = y.mean(axis=(1, 2, 3), keepdims=True)
-    y = (y - mean) * contrast[e + (None,)] + mean
-    y = jnp.clip(y, 0.0, 255.0)
-    hdeg, s, v = rgb_to_hsv(y)
-    s = jnp.clip(s * sat[e], 0.0, 1.0)
-    hdeg = jnp.mod(hdeg + hue[e] * 360.0, 360.0)
-    y = hsv_to_rgb(hdeg, s, v)
+    gw = jnp.asarray(_GRAY_W, x.dtype)
+
+    def _brightness(y):
+        return jnp.clip(y * bright[e + (None,)], 0.0, 255.0)
+
+    def _contrast(y):
+        gm = (y * gw).sum(-1).mean(axis=(1, 2))[:, None, None, None]
+        return jnp.clip((y - gm) * contrast[e + (None,)] + gm, 0.0, 255.0)
+
+    def _saturation(y):
+        g = (y * gw).sum(-1, keepdims=True)
+        return jnp.clip(g + (y - g) * sat[e + (None,)], 0.0, 255.0)
+
+    def _hue(y):
+        hdeg, s, v = rgb_to_hsv(y)
+        hdeg = jnp.mod(hdeg + hue[e] * 360.0, 360.0)
+        return hsv_to_rgb(hdeg, s, v)
+
+    ops = (_brightness, _contrast, _saturation, _hue)
+    y = x
+    for i in range(4):
+        cand = jnp.stack([op(y) for op in ops])  # (4, F, H, W, C)
+        idx = order[None, :, i, None, None, None]
+        y = jnp.take_along_axis(cand, idx, axis=0)[0]
     return jnp.where(apply[e + (None,)], y, x)
 
 
@@ -321,7 +344,7 @@ def build_device_aug(transforms: Sequence[Dict], norm_cfg: Dict,
                 x = jnp.where(flip[:, None, None, None],
                               jnp.flip(x, axis=axis), x)
             elif typ == 'ColorJitter':
-                ks = jax.random.split(sub, 5)
+                ks = jax.random.split(sub, 6)
                 br = cfg.get('brightness', 0)
                 co = cfg.get('contrast', 0)
                 sa = cfg.get('saturation', 0)
@@ -337,8 +360,14 @@ def build_device_aug(transforms: Sequence[Dict], norm_cfg: Dict,
                                          maxval=1 + sa)
                 hue = jax.random.uniform(ks[3], g, minval=-hu, maxval=hu)
                 apply = jax.random.uniform(ks[4], g) < cfg.get('p', 1.0)
+                # random op order per draw (torchvision get_params)
+                perm = jnp.argsort(jax.random.uniform(ks[5], g + (4,)),
+                                   axis=-1)
+                order = jnp.stack(
+                    [_bcast(perm[..., i], b, n, t) for i in range(4)], -1)
                 x = color_jitter(x, *(_bcast(v, b, n, t) for v in
-                                      (bright, contrast, sat, hue, apply)))
+                                      (bright, contrast, sat, hue, apply)),
+                                 order)
             elif typ == 'RandomGrayScale':
                 apply = jax.random.uniform(sub, g) < cfg.get('p', 0.2)
                 x = grayscale(x, _bcast(apply, b, n, t))
