@@ -47,6 +47,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_to_global(x, sharding: NamedSharding):
+    """Place a host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put``. Multi-process: every host is
+    assumed to hold the SAME full (global) array; each host device_puts
+    only the index-slices its addressable devices own and the global
+    jax.Array is assembled with
+    ``make_array_from_single_device_arrays`` — the multihost replacement
+    for the reference's DistributedSampler shard + scatter
+    (reference datasets/samplers/distributed_sampler.py:5-33)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    imap = sharding.devices_indices_map(x.shape)
+    arrs = [jax.device_put(x[imap[d]], d)
+            for d in sharding.addressable_devices]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding,
+                                                    arrs)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a host pytree over every device of the mesh
+    (multi-process safe)."""
+    repl = replicated(mesh)
+    return jax.tree.map(
+        lambda x: host_to_global(x, repl) if hasattr(x, 'ndim') else x,
+        tree)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
     """Device-put a host batch dict with the batch dim sharded over the
     mesh. Arrays whose leading dim does not divide the mesh fall back to
@@ -59,7 +88,7 @@ def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
         if not hasattr(x, 'ndim') or x.ndim == 0:
             return x
         if x.shape[0] % n == 0:
-            return jax.device_put(x, sharded)
-        return jax.device_put(x, repl)
+            return host_to_global(x, sharded)
+        return host_to_global(x, repl)
 
     return jax.tree.map(put, batch)
