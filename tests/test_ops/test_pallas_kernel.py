@@ -192,3 +192,33 @@ def test_pallas_store_modes_identical():
         for sm in ('concat', 'memset')
     }
     np.testing.assert_array_equal(outs['concat'], outs['memset'])
+
+
+@pytest.mark.parametrize('h,w,nr,tile,topk,gf', [
+    (12, 14, 6, (4, 8), 4, None),   # single group (auto)
+    (10, 11, 8, (8, 8), 3, 2),      # 3 groups of 2 over 5 frames (ragged)
+    (12, 14, 6, (4, 8), 4, 1),      # degenerate: per-frame groups
+])
+def test_pallas_batched_matmul_parity(h, w, nr, tile, topk, gf):
+    """matmul_mode='batched' (one MXU dot per frame group, batched
+    mask+validity add, lane-aligned frame segments) must be EXACT vs the
+    tiled XLA path, including ragged last groups and invalid slots."""
+    rng = np.random.RandomState(1)
+    f, c, k = 5, 16, 3
+    radius = nr // 2
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    bank_f = l2_normalize(
+        jnp.asarray(rng.randn(f, h, w, c), jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.asarray([1, 1, 1, 0, 1])  # hole in the middle slots
+    ref = local_masked_topk_attend(query, bank_f, bank_v,
+                                   valid.astype(bool), radius=radius,
+                                   temperature=0.07, topk=topk, tile=(4, 4))
+    out = pallas_local_topk_attend(
+        pad_for_pallas(query, h, w, radius, tile, matmul_mode='batched'),
+        pad_for_pallas(bank_f, h, w, radius, tile, matmul_mode='batched'),
+        bank_v, valid, radius=radius, temperature=0.07, topk=topk,
+        h=h, w=w, tile=tile, interpret=True, matmul_mode='batched',
+        group_frames=gf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -86,6 +86,12 @@ def main():
             'pallas_bf16mm': PropagationConfig(
                 **base, backend='pallas', pallas_tile=tile,
                 pallas_precision='bfloat16'),
+            'pallas_batched': PropagationConfig(
+                **base, backend='pallas', pallas_tile=tile,
+                pallas_matmul='batched'),
+            'pallas_bf16mm_batched': PropagationConfig(
+                **base, backend='pallas', pallas_tile=tile,
+                pallas_precision='bfloat16', pallas_matmul='batched'),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

@@ -310,7 +310,9 @@ class VanillaTracker:
                 pallas_scores=test_cfg.get('pallas_scores', 'float32'),
                 pallas_fetch=test_cfg.get('pallas_fetch', 'perframe'),
                 pallas_precision=test_cfg.get('pallas_precision',
-                                              'float32'))
+                                              'float32'),
+                pallas_matmul=test_cfg.get('pallas_matmul', 'perframe'),
+                pallas_group_frames=test_cfg.get('pallas_group_frames'))
 
             pack = (not input_onehot) and k_pad <= 16 \
                 and bool(test_cfg.get('pack_preds', True))

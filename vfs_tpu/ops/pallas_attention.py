@@ -42,6 +42,163 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _topk_tail(scores_buf, out_s_ref, out_i_ref, q_n, total_k, topk,
+               extract_mode, scores_dtype):
+    """Exact top-k extraction tail shared by both kernel variants: k
+    unrolled passes of row-max + first-occurrence (tie rule: lowest flat
+    index first, torch.topk parity)."""
+    col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
+    top_s = []
+    top_i = []
+    # bf16 scores: the sweep reads half the VMEM bytes; compare in f32
+    # registers (bf16 predicates trip a Mosaic i1-relayout bug and bf16
+    # compare throughput is no better)
+    read = (lambda: scores_buf[:].astype(jnp.float32)) \
+        if scores_dtype != jnp.float32 else (lambda: scores_buf[:])
+    if extract_mode == 'descent':
+        # strict lexicographic descent: pass p finds the row max among
+        # elements strictly after the previous pick in (value desc,
+        # index asc) order. Read-only (no mask-out stores) — but
+        # measured 12% SLOWER than 'mask' on v5e (9.5 vs 8.5 ms/frame,
+        # DAVIS-480p shapes): the passes are VPU-issue-bound, not
+        # store-bound, and the eligibility predicate costs ~2 extra
+        # ops/element. Kept as the bit-exact A/B reference.
+        prev_v = None
+        prev_i = None
+        for p in range(topk):
+            s = read()
+            if p:
+                s = jnp.where(
+                    (s < prev_v) | ((s == prev_v) & (col > prev_i)),
+                    s, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)      # (Q, 1)
+            first_idx = jnp.min(jnp.where(s >= m, col, total_k),
+                                axis=1, keepdims=True)
+            top_s.append(m)
+            top_i.append(first_idx)
+            prev_v, prev_i = m, first_idx
+    else:  # 'mask': row-max + first-occurrence one-hot mask-out
+        for p in range(topk):
+            s = read()
+            m = jnp.max(s, axis=1, keepdims=True)      # (Q, 1)
+            eq = s >= m
+            # first index attaining the max (ties -> lowest flat
+            # index, the torch.topk rule). Alternatives measured
+            # SLOWER on v5e: jnp.argmax(s) lowers to 10.9 ms/frame vs
+            # 9.9 for where+min; argmax over the bool mask doesn't
+            # lower at all (Mosaic argmax is f32-only).
+            first_idx = jnp.min(jnp.where(eq, col, total_k), axis=1,
+                                keepdims=True)
+            top_s.append(m)
+            top_i.append(first_idx)
+            if p + 1 < topk:
+                scores_buf[:] = jnp.where(
+                    col == first_idx, NEG_INF, s).astype(scores_dtype)
+    out_s_ref[0, 0] = jnp.concatenate(
+        top_s, axis=1).astype(jnp.float32)             # (Q, topk)
+    out_i_ref[0, 0] = jnp.concatenate(top_i, axis=1)
+
+
+def _batched_geometry(th, tw, r, rw):
+    """Key-block geometry for the batched-matmul kernel: kbh is rounded
+    up so each frame's key block (kb_n = kbh2*kbw elements) is a
+    128-multiple — frame segments in the scores buffer then self-align
+    with NO per-frame pad lanes, and a whole group of frames can be
+    scored by ONE MXU matmul writing one contiguous store. The extra
+    rows sit >= r+1 below every query row of the tile, i.e. provably
+    outside the circle radius, so the standard mask already removes
+    them."""
+    kbh = th + 2 * r
+    kbw = tw + 2 * rw
+    g128 = 128 // math.gcd(kbw, 128)
+    kbh2 = _round_up(kbh, g128)
+    return kbh2, kbw, kbh2 - kbh
+
+
+def _make_kernel_batched(th, tw, r, rw, radius, h, w, c, f_frames, topk,
+                         temperature, extract_mode='mask',
+                         scores_dtype=jnp.float32,
+                         feat_dtype=jnp.float32, group_frames=None):
+    """Batched-matmul kernel variant (VERDICT r2 item 2): instead of one
+    small (q_n, C)x(C, kb) dot per bank frame — measured as the
+    dominant per-frame fixed cost, ~0.25 ms/bank-frame of non-DMA
+    overhead — score a GROUP of G frames with a single
+    (q_n, C)x(C, G*kb_n) MXU call, apply circle-mask + slot-validity as
+    one batched add (G concatenated (q_n, kb_n) pieces), and store the
+    whole group segment once. Groups are statically unrolled and
+    double-buffered through VMEM; G=F for r18-sized banks (one matmul
+    for the whole bank), smaller G where the key block would blow the
+    VMEM budget (r50)."""
+    kbh2, kbw, _ = _batched_geometry(th, tw, r, rw)
+    q_n = th * tw
+    kb_n = kbh2 * kbw
+    total_k = f_frames * kb_n
+    G = group_frames
+    n_groups = -(-f_frames // G)
+    n_slots = 1 if n_groups == 1 else 2
+
+    def kernel(valid_ref, query_ref, bank_feats_ref, mask_ref, out_s_ref,
+               out_i_ref, q_buf, key_buf, scores_buf, mask_buf, sem_q,
+               sem_k, sem_m):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        oy = ti * th
+        ox = tj * tw
+
+        cp_q = pltpu.make_async_copy(
+            query_ref.at[pl.ds(oy + r, th), pl.ds(ox + rw, tw), :],
+            q_buf, sem_q)
+        cp_q.start()
+        cp_m = pltpu.make_async_copy(mask_ref.at[ti, tj], mask_buf, sem_m)
+        cp_m.start()
+
+        def group_copy(g, slot):
+            g0 = g * G
+            gg = min(G, f_frames - g0)
+            dst = key_buf.at[slot] if gg == G \
+                else key_buf.at[slot, pl.ds(0, gg)]
+            return pltpu.make_async_copy(
+                bank_feats_ref.at[pl.ds(g0, gg), pl.ds(oy, kbh2),
+                                  pl.ds(ox, kbw), :],
+                dst, sem_k.at[slot])
+
+        group_copy(0, 0).start()
+        cp_m.wait()
+        cp_q.wait()
+        q = q_buf[:].reshape(q_n, c)
+
+        for g in range(n_groups):  # static unroll (<= F iterations)
+            slot = g % n_slots
+            if g + 1 < n_groups:
+                group_copy(g + 1, (g + 1) % n_slots).start()
+            group_copy(g, slot).wait()
+            g0 = g * G
+            gg = min(G, f_frames - g0)
+            keys = (key_buf[slot] if gg == G
+                    else key_buf[slot, :gg]).reshape(gg * kb_n, c)
+            scores = lax.dot_general(
+                q, keys, (((1,), (1,)), ((), ())),
+                precision=(lax.Precision.DEFAULT
+                           if feat_dtype == jnp.bfloat16
+                           else lax.Precision.HIGHEST),
+                preferred_element_type=jnp.float32) * (1.0 / temperature)
+            # circle mask + per-slot validity in ONE add: gg aligned
+            # (q_n, kb_n) pieces concatenated along lanes
+            pieces = []
+            for i in range(gg):
+                vt = jnp.where(valid_ref[g0 + i] > 0, 0.0, NEG_INF)
+                pieces.append(mask_buf[:] + vt)
+            madd = pieces[0] if gg == 1 \
+                else jnp.concatenate(pieces, axis=1)
+            scores = (scores + madd).astype(scores_dtype)
+            scores_buf[:, pl.ds(g0 * kb_n, gg * kb_n)] = scores
+
+        _topk_tail(scores_buf, out_s_ref, out_i_ref, q_n, total_k, topk,
+                   extract_mode, scores_dtype)
+
+    return kernel, kbh2, kbw, kb_n, total_k, q_n, n_slots
+
+
 def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                  temperature, extract_mode='mask',
                  scores_dtype=jnp.float32, fetch_mode='perframe',
@@ -142,58 +299,8 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
 
         lax.fori_loop(0, f_frames, frame_body, 0)
 
-        # exact top-k, k unrolled passes. Tie rule in both modes: lowest
-        # flat index first (torch.topk parity).
-        col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
-        top_s = []
-        top_i = []
-        # bf16 scores: the sweep reads half the VMEM bytes; compare in f32
-        # registers (bf16 predicates trip a Mosaic i1-relayout bug and bf16
-        # compare throughput is no better)
-        read = (lambda: scores_buf[:].astype(jnp.float32)) \
-            if scores_dtype != jnp.float32 else (lambda: scores_buf[:])
-        if extract_mode == 'descent':
-            # strict lexicographic descent: pass p finds the row max among
-            # elements strictly after the previous pick in (value desc,
-            # index asc) order. Read-only (no mask-out stores) — but
-            # measured 12% SLOWER than 'mask' on v5e (9.5 vs 8.5 ms/frame,
-            # DAVIS-480p shapes): the passes are VPU-issue-bound, not
-            # store-bound, and the eligibility predicate costs ~2 extra
-            # ops/element. Kept as the bit-exact A/B reference.
-            prev_v = None
-            prev_i = None
-            for p in range(topk):
-                s = read()
-                if p:
-                    s = jnp.where(
-                        (s < prev_v) | ((s == prev_v) & (col > prev_i)),
-                        s, NEG_INF)
-                m = jnp.max(s, axis=1, keepdims=True)      # (Q, 1)
-                first_idx = jnp.min(jnp.where(s >= m, col, total_k),
-                                    axis=1, keepdims=True)
-                top_s.append(m)
-                top_i.append(first_idx)
-                prev_v, prev_i = m, first_idx
-        else:  # 'mask': row-max + first-occurrence one-hot mask-out
-            for p in range(topk):
-                s = read()
-                m = jnp.max(s, axis=1, keepdims=True)      # (Q, 1)
-                eq = s >= m
-                # first index attaining the max (ties -> lowest flat
-                # index, the torch.topk rule). Alternatives measured
-                # SLOWER on v5e: jnp.argmax(s) lowers to 10.9 ms/frame vs
-                # 9.9 for where+min; argmax over the bool mask doesn't
-                # lower at all (Mosaic argmax is f32-only).
-                first_idx = jnp.min(jnp.where(eq, col, total_k), axis=1,
-                                    keepdims=True)
-                top_s.append(m)
-                top_i.append(first_idx)
-                if p + 1 < topk:
-                    scores_buf[:] = jnp.where(
-                        col == first_idx, NEG_INF, s).astype(scores_dtype)
-        out_s_ref[0, 0] = jnp.concatenate(
-            top_s, axis=1).astype(jnp.float32)             # (Q, topk)
-        out_i_ref[0, 0] = jnp.concatenate(top_i, axis=1)
+        _topk_tail(scores_buf, out_s_ref, out_i_ref, q_n, total_k, topk,
+                   extract_mode, scores_dtype)
 
     return kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n
 
@@ -202,7 +309,8 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'tile', 'h', 'w',
                      'interpret', 'extract_mode', 'scores_dtype',
-                     'fetch_mode', 'matmul_precision', 'store_mode'))
+                     'fetch_mode', 'matmul_precision', 'store_mode',
+                     'matmul_mode', 'group_frames'))
 def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              bank_feats: jnp.ndarray,
                              bank_vals: jnp.ndarray,
@@ -218,7 +326,9 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
                              scores_dtype: str = 'float32',
                              fetch_mode: str = 'perframe',
                              matmul_precision: str = 'float32',
-                             store_mode: str = 'concat') -> jnp.ndarray:
+                             store_mode: str = 'concat',
+                             matmul_mode: str = 'perframe',
+                             group_frames=None) -> jnp.ndarray:
     """Fused masked top-k attention over one query frame.
 
     Args:
@@ -239,6 +349,15 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
             the QK^T runs as ONE native MXU pass with an fp32 accumulator
             (key DMA + VMEM bytes halve too). Scores and the top-k
             extraction stay fp32; only the inputs round.
+        matmul_mode: 'perframe' (one small dot per bank frame, original)
+            or 'batched' — one MXU matmul per GROUP of frames with
+            mask+validity applied as a single batched add (kills the
+            measured ~0.25 ms/bank-frame fixed overhead). Requires the
+            inputs padded with ``pad_for_pallas(..., matmul_mode=
+            'batched')``. Exact same results either way.
+        group_frames: frames per matmul group in batched mode (None =
+            auto from the VMEM budget; r18-sized banks score all F
+            frames in one matmul).
     Returns:
         (h, w, K) propagated logits.
     """
@@ -254,6 +373,9 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     if matmul_precision not in ('float32', 'bfloat16'):
         raise ValueError(f"matmul_precision must be 'float32' or "
                          f"'bfloat16', got {matmul_precision!r}")
+    if matmul_mode not in ('perframe', 'batched'):
+        raise ValueError(f"matmul_mode must be 'perframe' or 'batched', "
+                         f"got {matmul_mode!r}")
     s_dtype = jnp.dtype(scores_dtype)
     feat_dtype = jnp.dtype(jnp.bfloat16) if matmul_precision == 'bfloat16' \
         else jnp.dtype(jnp.float32)
@@ -268,11 +390,40 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     nth = -(-h // th)
     ntw = -(-w // tw)
 
-    kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n = _make_kernel(
-        th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
-        float(temperature), extract_mode, scores_dtype=s_dtype,
-        fetch_mode=fetch_mode, feat_dtype=feat_dtype,
-        store_mode=store_mode)
+    if matmul_mode == 'batched':
+        kbh, kbw, _ = _batched_geometry(th, tw, r, rw)
+        # auto group size: the whole bank in ONE matmul when its key
+        # blocks fit the VMEM budget single-buffered, else the largest
+        # double-buffered group that does
+        frame_bytes = kbh * kbw * c * feat_dtype.itemsize
+        budget = 40 * 1024 * 1024
+        if group_frames is None:
+            if f_frames * frame_bytes <= budget:
+                g_frames = f_frames
+            else:
+                g_frames = max(1, int(budget // (2 * frame_bytes)))
+        else:
+            g_frames = min(int(group_frames), f_frames)
+        kernel, kbh, kbw, kb_n, total_k, q_n, n_slots = \
+            _make_kernel_batched(
+                th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
+                float(temperature), extract_mode, scores_dtype=s_dtype,
+                feat_dtype=feat_dtype, group_frames=g_frames)
+        seg = kb_n                       # frame segments self-aligned
+        key_buf_shape = (n_slots, g_frames, kbh, kbw, c)
+        mask_cols = kb_n                 # already a 128-multiple
+        sem_k_slots = n_slots
+    else:
+        kernel, kbh, kbw, kb_pad, total_k, q_n, kb_n = _make_kernel(
+            th, tw, r, rw, float(radius), h, w, c, f_frames, topk,
+            float(temperature), extract_mode, scores_dtype=s_dtype,
+            fetch_mode=fetch_mode, feat_dtype=feat_dtype,
+            store_mode=store_mode)
+        seg = kb_pad
+        key_buf_shape = (f_frames if fetch_mode == 'whole' else 2,
+                         kbh, kbw, c)
+        mask_cols = kb_pad
+        sem_k_slots = 2
 
     # precomputed per-tile additive mask (nth, ntw, q_n, kb_n)
     qi, qj = jnp.divmod(jnp.arange(q_n), tw)
@@ -291,10 +442,11 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     mask4 = jnp.where(circle[None, None] & inb & qin, 0.0,
                       NEG_INF).astype(jnp.float32)
     # pad the mask's last dim to the 128-aligned kb_pad (Mosaic DMA slice
-    # alignment); the kernel reads the first kb_n columns
-    if kb_pad > kb_n:
+    # alignment); the kernel reads the first kb_n columns. In batched
+    # mode kb_n is 128-aligned by construction — no padding.
+    if mask_cols > kb_n:
         mask4 = jnp.pad(mask4, ((0, 0), (0, 0), (0, 0),
-                                (0, kb_pad - kb_n)),
+                                (0, mask_cols - kb_n)),
                         constant_values=NEG_INF)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -312,13 +464,12 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th, tw, c), feat_dtype),         # q_buf
-            pltpu.VMEM((f_frames if fetch_mode == 'whole' else 2,
-                        kbh, kbw, c), feat_dtype),        # key_buf
+            pltpu.VMEM((th, tw, c), feat_dtype),          # q_buf
+            pltpu.VMEM(key_buf_shape, feat_dtype),        # key_buf
             pltpu.VMEM((q_n, total_k), s_dtype),          # scores
-            pltpu.VMEM((q_n, kb_pad), jnp.float32),       # mask
+            pltpu.VMEM((q_n, mask_cols), jnp.float32),    # mask
             pltpu.SemaphoreType.DMA(()),                  # sem_q
-            pltpu.SemaphoreType.DMA((2,)),                # sem_k
+            pltpu.SemaphoreType.DMA((sem_k_slots,)),      # sem_k
             pltpu.SemaphoreType.DMA(()),                  # sem_m
         ],
     )
@@ -335,8 +486,8 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     )(bank_valid.astype(jnp.int32), query_padded, bank_feats, mask4)
 
     # ---- XLA epilogue: decode flat indices, gather values, softmax ----
-    f_idx = top_i // kb_pad
-    rem = top_i % kb_pad
+    f_idx = top_i // seg
+    rem = top_i % seg
     a = rem // kbw
     b = rem % kbw
     ty = jnp.arange(nth)[:, None, None, None] * th
@@ -354,16 +505,21 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
 
 
 def pad_for_pallas(x: jnp.ndarray, h: int, w: int, radius: float,
-                   tile: Tuple[int, int]) -> jnp.ndarray:
+                   tile: Tuple[int, int],
+                   matmul_mode: str = 'perframe') -> jnp.ndarray:
     """Pad ``(..., h, w, C)`` into the kernel layout: r rows top/bottom
     (plus tile remainder at the bottom), rw = round_up(r, 8) cols
-    left/right (plus tile remainder at the right)."""
+    left/right (plus tile remainder at the right). ``matmul_mode=
+    'batched'`` adds the lane-alignment rows the batched kernel's taller
+    key blocks read below the last tile row (see _batched_geometry)."""
     th, tw = tile
     r = int(math.ceil(radius - 1))
     rw = _round_up(r, 8)
     hp = _round_up(h, th)
     wp = _round_up(w, tw)
+    dh = _batched_geometry(th, tw, r, rw)[2] \
+        if matmul_mode == 'batched' else 0
     pads = [(0, 0)] * x.ndim
-    pads[x.ndim - 3] = (r, r + hp - h)
+    pads[x.ndim - 3] = (r, r + hp - h + dh)
     pads[x.ndim - 2] = (rw, rw + wp - w)
     return jnp.pad(x, pads)

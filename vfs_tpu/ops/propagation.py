@@ -68,6 +68,12 @@ class PropagationConfig(NamedTuple):
     # stores unpadded score rows (vs re-concatenating a padded copy
     # every frame); exact either way
     pallas_store: str = 'concat'
+    # 'batched' scores a whole group of bank frames per MXU matmul
+    # instead of one small dot per frame (the measured per-frame fixed
+    # cost); exact either way
+    pallas_matmul: str = 'perframe'
+    # frames per matmul group in batched mode (None = auto VMEM fit)
+    pallas_group_frames: Optional[int] = None
     # run the kernel in pallas interpret mode (CPU testing only)
     pallas_interpret: bool = False
 
@@ -265,7 +271,8 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
         # bf16 bank: halves the ring-buffer update traffic in the scan
         # AND lets the kernel take the single-pass MXU path
         feats = feats.astype(jnp.bfloat16)
-    feats_pad = pad_for_pallas(feats, h, w, radius, tile)
+    feats_pad = pad_for_pallas(feats, h, w, radius, tile,
+                               matmul_mode=cfg.pallas_matmul)
     hp2, wp2 = feats_pad.shape[1:3]
 
     bank_feats0 = jnp.zeros((p + 1, hp2, wp2, c), feats.dtype)
@@ -289,6 +296,8 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
             fetch_mode=cfg.pallas_fetch,
             matmul_precision=cfg.pallas_precision,
             store_mode=cfg.pallas_store,
+            matmul_mode=cfg.pallas_matmul,
+            group_frames=cfg.pallas_group_frames,
             interpret=cfg.pallas_interpret)
         slot = 1 + jnp.mod(t, p)
         bank_feats = jax.lax.dynamic_update_index_in_dim(
