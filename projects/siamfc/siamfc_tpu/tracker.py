@@ -105,7 +105,8 @@ class TrackerSiamFC:
     # -- jitted forward pieces ----------------------------------------------
     @functools.partial(jax.jit, static_argnames=('self',))
     def _backbone_fwd(self, variables, imgs):
-        imgs = (imgs - IMG_MEAN) / IMG_STD
+        # crops ship uint8 (4x less over the host link) — cast on device
+        imgs = (imgs.astype(jnp.float32) - IMG_MEAN) / IMG_STD
         out = self.backbone.apply(variables['backbone'], imgs, train=False)
         return out[-1] if isinstance(out, tuple) else out
 
@@ -118,50 +119,63 @@ class TrackerSiamFC:
         """Fused search-branch forward: backbone + xcorr in ONE dispatch
         (the per-frame loop pays a fixed per-dispatch cost on remote
         devices; two calls per frame would double it)."""
-        x = (x - IMG_MEAN) / IMG_STD
+        x = (x.astype(jnp.float32) - IMG_MEAN) / IMG_STD
         xf = self.backbone.apply(variables['backbone'], x, train=False)
         if isinstance(xf, tuple):
             xf = xf[-1]
         return self.head.apply(variables['head'], kernel, xf)
 
-    # -- got10k-compatible Tracker interface --------------------------------
-    def init(self, img, box):
-        """First-frame init (reference :200-243). box is 1-indexed ltwh."""
+    # -- per-sequence tracking state (shared by the single-sequence
+    # got10k interface and track_batch) --------------------------------------
+    def _make_state(self, img, box):
+        """First-frame state + exemplar crop (reference :200-243).
+        ``box`` is 1-indexed ltwh. Returns (state dict, z crop)."""
         cfg = self.cfg
         box = np.array([
             box[1] - 1 + (box[3] - 1) / 2,
             box[0] - 1 + (box[2] - 1) / 2,
             box[3], box[2]], np.float32)
-        self.center, self.target_sz = box[:2], box[2:]
-        self.upscale_sz = cfg['response_up'] * cfg['response_sz']
-        self.hann_window = np.outer(np.hanning(self.upscale_sz),
-                                    np.hanning(self.upscale_sz))
-        self.hann_window /= self.hann_window.sum()
-        self.scale_factors = cfg['scale_step']**np.linspace(
+        st = dict(center=box[:2].copy(), target_sz=box[2:].copy())
+        context = cfg['context'] * np.sum(st['target_sz'])
+        st['z_sz'] = np.sqrt(np.prod(st['target_sz'] + context))
+        st['x_sz'] = st['z_sz'] * cfg['instance_sz'] / cfg['exemplar_sz']
+        st['avg_color'] = np.mean(img, axis=(0, 1))
+        z = ops.crop_and_resize(img, st['center'], st['z_sz'],
+                                out_size=cfg['exemplar_sz'],
+                                border_value=st['avg_color'])
+        return st, z
+
+    @functools.cached_property
+    def _scale_factors(self):
+        cfg = self.cfg
+        return cfg['scale_step']**np.linspace(
             -(cfg['scale_num'] // 2), cfg['scale_num'] // 2,
             cfg['scale_num'])
-        context = cfg['context'] * np.sum(self.target_sz)
-        self.z_sz = np.sqrt(np.prod(self.target_sz + context))
-        self.x_sz = self.z_sz * cfg['instance_sz'] / cfg['exemplar_sz']
-        self.avg_color = np.mean(img, axis=(0, 1))
-        z = ops.crop_and_resize(img, self.center, self.z_sz,
-                                out_size=cfg['exemplar_sz'],
-                                border_value=self.avg_color)
-        self.kernel = self._backbone_fwd(
-            self.variables, jnp.asarray(z[None], jnp.float32))
 
-    def update(self, img):
-        """Per-frame tracking step (reference :245-319)."""
+    @functools.cached_property
+    def _hann_window(self):
+        upscale_sz = self.cfg['response_up'] * self.cfg['response_sz']
+        win = np.outer(np.hanning(upscale_sz), np.hanning(upscale_sz))
+        return win / win.sum()
+
+    def _scale_crops(self, img, st):
+        """(S, instance_sz, instance_sz, 3) search crops for a state."""
         cfg = self.cfg
-        x = [ops.crop_and_resize(img, self.center, self.x_sz * f,
-                                 out_size=cfg['instance_sz'],
-                                 border_value=self.avg_color)
-             for f in self.scale_factors]
-        x = jnp.asarray(np.stack(x), jnp.float32)
-        responses = self._update_fwd(self.variables, self.kernel, x)
-        responses = np.asarray(responses)[..., 0]  # (S, h, w)
+        return np.stack([
+            ops.crop_and_resize(img, st['center'], st['x_sz'] * f,
+                                out_size=cfg['instance_sz'],
+                                border_value=st['avg_color'])
+            for f in self._scale_factors])  # keeps the image dtype
+        # (uint8 from read_image: 4x fewer bytes host->device)
+
+    def _apply_response(self, responses, st):
+        """Post-process raw (S, h, w) responses: bicubic x16 upsample,
+        scale penalty, hann blend, displacement -> updated state + ltwh
+        box (reference :245-319)."""
+        cfg = self.cfg
+        upscale_sz = cfg['response_up'] * cfg['response_sz']
         responses = np.stack([
-            cv2.resize(u, (self.upscale_sz, self.upscale_sz),
+            cv2.resize(u, (upscale_sz, upscale_sz),
                        interpolation=cv2.INTER_CUBIC) for u in responses])
         responses[:cfg['scale_num'] // 2] *= cfg['scale_penalty']
         responses[cfg['scale_num'] // 2 + 1:] *= cfg['scale_penalty']
@@ -170,23 +184,37 @@ class TrackerSiamFC:
         response -= response.min()
         response /= response.sum() + 1e-16
         response = (1 - cfg['window_influence']) * response + \
-            cfg['window_influence'] * self.hann_window
+            cfg['window_influence'] * self._hann_window
         loc = np.unravel_index(response.argmax(), response.shape)
-        disp_in_response = np.array(loc) - (self.upscale_sz - 1) / 2
+        disp_in_response = np.array(loc) - (upscale_sz - 1) / 2
         disp_in_instance = disp_in_response * \
             cfg['total_stride'] / cfg['response_up']
-        disp_in_image = disp_in_instance * self.x_sz * \
-            self.scale_factors[scale_id] / cfg['instance_sz']
-        self.center += disp_in_image
+        disp_in_image = disp_in_instance * st['x_sz'] * \
+            self._scale_factors[scale_id] / cfg['instance_sz']
+        st['center'] += disp_in_image
         scale = (1 - cfg['scale_lr']) * 1.0 + \
-            cfg['scale_lr'] * self.scale_factors[scale_id]
-        self.target_sz *= scale
-        self.z_sz *= scale
-        self.x_sz *= scale
+            cfg['scale_lr'] * self._scale_factors[scale_id]
+        st['target_sz'] *= scale
+        st['z_sz'] *= scale
+        st['x_sz'] *= scale
         return np.array([
-            self.center[1] + 1 - (self.target_sz[1] - 1) / 2,
-            self.center[0] + 1 - (self.target_sz[0] - 1) / 2,
-            self.target_sz[1], self.target_sz[0]])
+            st['center'][1] + 1 - (st['target_sz'][1] - 1) / 2,
+            st['center'][0] + 1 - (st['target_sz'][0] - 1) / 2,
+            st['target_sz'][1], st['target_sz'][0]])
+
+    # -- got10k-compatible Tracker interface --------------------------------
+    def init(self, img, box):
+        """First-frame init (reference :200-243). box is 1-indexed ltwh."""
+        self._state, z = self._make_state(img, box)
+        self.kernel = self._backbone_fwd(
+            self.variables, jnp.asarray(z[None]))
+
+    def update(self, img):
+        """Per-frame tracking step (reference :245-319)."""
+        x = jnp.asarray(self._scale_crops(img, self._state))
+        responses = self._update_fwd(self.variables, self.kernel, x)
+        return self._apply_response(np.asarray(responses)[..., 0],
+                                    self._state)
 
     def track(self, img_files, box, visualize=False):
         frame_num = len(img_files)
@@ -202,6 +230,69 @@ class TrackerSiamFC:
                 boxes[f, :] = self.update(img)
             times[f] = time.time() - begin
         return boxes, times
+
+    def track_batch(self, seqs, batch_size=8):
+        """Track ``seqs`` = [(img_files, first_box), ...] with K sequences
+        per device dispatch, amortizing the fixed dispatch RTT (~35 ms on
+        a tunneled host) K-fold — OTB runs 100 INDEPENDENT sequences, so
+        batching across them is free parallelism the reference's
+        sequential got10k loop leaves on the table
+        (reference siamfc_tracker_base.py:245-319 drives one sequence at
+        a time). Per-sequence box math is byte-identical to ``track``:
+        the same host crops feed the same xcorr (``fast_xcorr`` grouping
+        pairs kernel k with its own crops) and the same
+        ``_apply_response``. Sequences are chunked longest-first so chunk
+        members have similar lengths (stragglers waste batched compute).
+
+        Returns [(boxes, times), ...] in the input order.
+        """
+        cfg = self.cfg
+        s = cfg['scale_num']
+        order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i][0]))
+        results = [None] * len(seqs)
+        for c0 in range(0, len(order), batch_size):
+            chunk = order[c0:c0 + batch_size]
+            k = len(chunk)
+            files = [seqs[i][0] for i in chunk]
+            lengths = [len(f) for f in files]
+            boxes = [np.zeros((n, 4)) for n in lengths]
+            times = [np.zeros(n) for n in lengths]
+            states, zs = [], []
+            t0 = time.time()
+            for j, i in enumerate(chunk):
+                img = ops.read_image(files[j][0])
+                st, z = self._make_state(img, seqs[i][1])
+                states.append(st)
+                zs.append(z)
+                boxes[j][0] = seqs[i][1]
+            kernels = self._backbone_fwd(
+                self.variables, jnp.asarray(np.stack(zs)))
+            init_dt = (time.time() - t0) / k
+            for j in range(k):
+                times[j][0] = init_dt
+            xs = np.zeros((s, k, cfg['instance_sz'], cfg['instance_sz'],
+                           3), np.float32)
+            for t in range(1, max(lengths)):
+                begin = time.time()
+                active = [j for j in range(k) if t < lengths[j]]
+                for j in active:
+                    img = ops.read_image(files[j][t])
+                    xs[:, j] = self._scale_crops(img, states[j])
+                # scale-major flatten: row s*k+j pairs crop (s, j) with
+                # kernel j under fast_xcorr's feature_group_count=k
+                resp = np.asarray(self._update_fwd(
+                    self.variables, kernels,
+                    jnp.asarray(xs.reshape(s * k, *xs.shape[2:]))))[..., 0]
+                resp = resp.reshape(s, k, *resp.shape[1:])
+                for j in active:
+                    boxes[j][t] = self._apply_response(resp[:, j],
+                                                       states[j])
+                dt = (time.time() - begin) / max(len(active), 1)
+                for j in active:
+                    times[j][t] = dt
+            for j, i in enumerate(chunk):
+                results[i] = (boxes[j], times[j])
+        return results
 
     # -- training ------------------------------------------------------------
     def _build_optimizer(self, iters_per_epoch: int):

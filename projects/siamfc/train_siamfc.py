@@ -33,11 +33,20 @@ def parse_args():
     parser.add_argument('--local-devices', default='1',
                         help="track OTB sequences over N local chips "
                              "('all' = every local device)")
+    parser.add_argument('--track-batch', type=int, default=1,
+                        help='track K sequences per device dispatch '
+                             '(amortizes dispatch RTT K-fold)')
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    import jax
+    # persistent XLA cache: tracking compiles one graph per (K, scales)
+    # crop-batch shape — without the cache every CLI invocation repays
+    # ~60 s of compile before the first tracked frame
+    jax.config.update('jax_compilation_cache_dir', '/tmp/vfs_tpu_xla_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
     from siamfc_tpu import (ExperimentOTB, SequenceDataset, TrackerSiamFC,
                             default_cfg)
 
@@ -81,7 +90,8 @@ def main():
         ndev = len(jax.local_devices()) if args.local_devices == 'all' \
             else int(args.local_devices)
         devs = jax.local_devices()[:ndev] if ndev > 1 else None
-        boxes = exp.run(tracker, devices=devs)
+        boxes = exp.run(tracker, devices=devs,
+                        batch_size=args.track_batch)
         report = exp.report(boxes)
         logger.info(
             f"Results copypaste  {report['precision_score']*100:.1f}"

@@ -115,6 +115,58 @@ def test_otb_experiment_end_to_end(tmp_path):
     assert osp.isfile(tmp_path / 'results' / 'Square.txt')
 
 
+def make_otb_multi_fixture(root, lengths=(12, 9, 7), hw=(120, 160)):
+    """Several sequences of DIFFERENT lengths (exercises the straggler
+    masking in track_batch)."""
+    import cv2
+    h, w = hw
+    rng = np.random.RandomState(3)
+    for s, n in enumerate(lengths):
+        seq = osp.join(root, f'Seq{s}', 'img')
+        os.makedirs(seq, exist_ok=True)
+        base = rng.randint(0, 50, (h, w, 3), np.uint8)
+        color = rng.randint(150, 255, 3).tolist()
+        boxes = []
+        for t in range(n):
+            img = base.copy()
+            x0, y0 = 30 + s * 5 + 2 * t, 40 - s * 3 + t
+            img[y0:y0 + 30, x0:x0 + 30] = color
+            cv2.imwrite(osp.join(seq, f'{t + 1:04}.jpg'),
+                        img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+            boxes.append([x0 + 1, y0 + 1, 30, 30])
+        np.savetxt(osp.join(root, f'Seq{s}', 'groundtruth_rect.txt'),
+                   np.array(boxes), fmt='%d', delimiter=',')
+
+
+def test_track_batch_matches_sequential(tmp_path):
+    """track_batch (K sequences per dispatch) must produce the same boxes
+    as the sequential got10k-style loop: identical host crops feed the
+    grouped xcorr (kernel k pairs with its own crops) and the identical
+    _apply_response math."""
+    make_otb_multi_fixture(str(tmp_path))
+    cfg = dict(default_cfg)
+    cfg['model'] = {'backbone': dict(type='ResNet', depth=18,
+                                     frozen_stages=4,
+                                     dilations=(1, 1, 2, 4),
+                                     strides=(1, 2, 1, 1),
+                                     out_indices=(3,), norm_eval=True)}
+    tracker = TrackerSiamFC(cfg)
+    tracker.init_weights()
+    exp = ExperimentOTB(str(tmp_path),
+                        result_dir=str(tmp_path / 'results'),
+                        report_dir=str(tmp_path / 'reports'))
+    assert len(exp.seq_names) == 3
+    serial = exp.run(tracker)
+    batched = exp.run(tracker, batch_size=2)  # 2+1: ragged final chunk
+    assert set(serial) == set(batched)
+    for name in serial:
+        sb, bb = serial[name][0], batched[name][0]
+        assert sb.shape == bb.shape
+        # same crops, same math; tolerance covers batched-vs-single conv
+        # scheduling differences only
+        np.testing.assert_allclose(bb, sb, atol=1.0)
+
+
 def test_eval_metrics_perfect():
     from siamfc_tpu import eval_metrics
     boxes = np.array([[10, 10, 20, 20]] * 5, float)
