@@ -52,6 +52,15 @@ def single_process_test(model, dataset, progress: bool = True,
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=1) \
         if prefetch else None
     pending = pool.submit(fetch, 0) if pool else None
+    # trackers support pipelined readback: dispatch video i+1's compute
+    # before resolving video i's (link-bound) prediction fetch
+    import inspect
+    try:
+        defer = 'defer_fetch' in inspect.signature(
+            model.forward_test).parameters
+    except (TypeError, ValueError):
+        defer = False
+    prev_finish = None
     for i in range(n):
         if pool:
             sample, imgs = pending.result()
@@ -59,12 +68,21 @@ def single_process_test(model, dataset, progress: bool = True,
                 pending = pool.submit(fetch, i + 1)
         else:
             sample, imgs = fetch(i)
-        preds = model.forward_test(imgs, sample['ref_seg_map'],
-                                   [sample['img_meta']])
-        results.extend(preds)
+        if defer:
+            finish = model.forward_test(imgs, sample['ref_seg_map'],
+                                        [sample['img_meta']],
+                                        defer_fetch=True)
+            if prev_finish is not None:
+                results.extend(prev_finish())
+            prev_finish = finish
+        else:
+            results.extend(model.forward_test(imgs, sample['ref_seg_map'],
+                                              [sample['img_meta']]))
         if progress:
             logger.info(f'eval [{i + 1}/{n}] '
                         f'{sample["img_meta"].get("frame_dir", "")}')
+    if prev_finish is not None:
+        results.extend(prev_finish())
     if pool:
         pool.shutdown(wait=False)
     return results

@@ -219,7 +219,8 @@ class VanillaTracker:
                 t_real)
 
     def forward_test(self, imgs, ref_seg_map: np.ndarray,
-                     img_meta: List[Dict[str, Any]]):
+                     img_meta: List[Dict[str, Any]],
+                     defer_fetch: bool = False):
         """Propagate ``ref_seg_map`` (H0, W0 int labels) through ``imgs``
         (T, H, W, 3 normalized float RGB, or uint8 + img_norm_cfg in meta,
         or a ``preload`` handle). Returns per-feat list of (T, H0, W0)
@@ -320,6 +321,26 @@ class VanillaTracker:
                 feats=feat, seg_first=jnp.asarray(seg_first),
                 mask=mask, class_valid=jnp.asarray(class_valid),
                 cfg=cfg, out_hw=original_shape, pack=pack)
+            if (defer_fetch and not input_onehot and not self.save_np
+                    and len(feats) == 1):
+                # pipelined readback: jit dispatch is async, so return
+                # BEFORE the (link-bound) device->host prediction fetch;
+                # the caller dispatches the next video's compute, then
+                # resolves this thunk — the DMA of video i overlaps the
+                # compute of video i+1 (the tunnel readback is ~40% of
+                # "compute" wall on remote-device hosts, PROGRESS r3)
+                seg_preds = seg_preds[:t_real]  # slice BEFORE the async
+                try:  # copy so the started DMA is the one finish() reads
+                    seg_preds.copy_to_host_async()
+                except Exception:
+                    pass
+
+                def finish(seg_preds=seg_preds, first_pred=first_pred):
+                    sp = self._fetch_preds(seg_preds, t_real,
+                                           original_shape, pack)
+                    sp[0] = first_pred  # frame 0 = GT (reference :118)
+                    return [sp]  # == list(all_seg_preds[0]) eager layout
+                return finish
             seg_preds = self._fetch_preds(seg_preds, t_real, original_shape,
                                           pack)
             if not input_onehot:
@@ -347,7 +368,12 @@ class VanillaTracker:
                     dir=eval_dir, suffix='.npy', delete=False)
                 np.save(tf.name, seg_preds[0])
                 paths.append(osp.join(eval_dir, osp.basename(tf.name)))
-            return [paths] if len(paths) > 1 else [paths[0]]
+            paths = [paths] if len(paths) > 1 else [paths[0]]
+            return (lambda: paths) if defer_fetch else paths
         if len(all_seg_preds) > 1:
-            return list(np.stack(all_seg_preds, axis=1))
-        return list(all_seg_preds[0])
+            out = list(np.stack(all_seg_preds, axis=1))
+        else:
+            out = list(all_seg_preds[0])
+        # uniform caller contract: defer_fetch always returns a thunk
+        # (eager here — the fast single-feat path returned earlier)
+        return (lambda: out) if defer_fetch else out
