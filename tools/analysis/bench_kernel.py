@@ -106,10 +106,14 @@ def main():
         rtts.append(time.time() - t0)
     rtt = statistics.median(rtts)
 
-    results, outputs = {}, {}
+    results, outputs, failed = {}, {}, {}
     for name, cfg in variants.items():
-        out = propagate_video(feats, seg, None, cfg)  # compile
-        float(out.sum())
+        try:
+            out = propagate_video(feats, seg, None, cfg)  # compile
+            float(out.sum())
+        except Exception as e:  # e.g. wholefetch VMEM OOM at r50 C=1024
+            failed[name] = str(e).split('\n')[0][:100]
+            continue
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
@@ -129,6 +133,8 @@ def main():
         agree = float((outputs[name].argmax(-1) == ref).mean())
         print(f'{name:22s} {ms:7.2f} ms/frame   argmax-agreement '
               f'vs pallas_fp32: {agree:.5f}')
+    for name, err in failed.items():
+        print(f'{name:22s}  FAILED: {err}')
 
 
 if __name__ == '__main__':
