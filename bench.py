@@ -201,6 +201,27 @@ def check_fixture_jf(model):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def measure_device_only(model, video, repeats=3):
+    """Pure device pipeline (extraction + propagation + decode) with the
+    bulk prediction readback excluded (forced by an on-device scalar sum)
+    — the number a local-PCIe TPU-VM host would see; the delta vs
+    ``compute_only`` is the host-link readback cost."""
+    imgs, seg, meta = video
+    handle = model.preload(imgs)
+    finish = model.forward_test(handle, seg, [meta], defer_fetch='nocopy')
+    if not hasattr(finish, 'seg_preds'):
+        return None
+    float(finish.seg_preds.sum())  # compiled + resident
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        finish = model.forward_test(handle, seg, [meta],
+                                    defer_fetch='nocopy')
+        float(finish.seg_preds.sum())
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
 def measure_extract_stage(model, video, repeats=3):
     """Extraction-stage ms/frame + exact FLOPs + MFU (VERDICT r2 weak #2:
     extraction is the larger half of compute — make its utilization a
@@ -270,10 +291,14 @@ def bench_depth(model, videos, runs, gates):
         pass_fps.append(total_frames / dt)
     fps = statistics.median(pass_fps)
     compute_s = measure_compute_only(model, videos[0])
+    device_s = measure_device_only(model, videos[0])
+    t0 = videos[0][0].shape[0]
     return dict(
         fps=fps, pass_fps=pass_fps,
-        compute_fps=videos[0][0].shape[0] / compute_s,
-        compute_ms=1000 * compute_s / videos[0][0].shape[0],
+        compute_fps=t0 / compute_s,
+        compute_ms=1000 * compute_s / t0,
+        device_fps=t0 / device_s if device_s else None,
+        device_ms=1000 * device_s / t0 if device_s else None,
         agreement=agreement, bf16_agreement=bf16_agreement, jf=jf)
 
 
@@ -310,6 +335,8 @@ def main():
             'fps': round(r50['fps'], 2),
             'compute_only_fps': round(r50['compute_fps'], 2),
             'compute_ms_per_frame': round(r50['compute_ms'], 2),
+            'device_only_fps': round(r50['device_fps'], 2)
+            if r50['device_fps'] else None,
             'backend_agreement': round(r50['agreement'], 5),
             'bf16mm_vs_fp32_agreement': round(r50['bf16_agreement'], 5),
             'fixture_jf': round(r50['jf'], 4),
@@ -326,6 +353,10 @@ def main():
             'pass_fps_max': round(max(r18['pass_fps']), 2),
             'compute_only_fps': round(r18['compute_fps'], 2),
             'compute_ms_per_frame': round(r18['compute_ms'], 2),
+            'device_only_fps': round(r18['device_fps'], 2)
+            if r18['device_fps'] else None,
+            'device_ms_per_frame': round(r18['device_ms'], 2)
+            if r18['device_ms'] else None,
             'host_link_GBps': round(link_gbps, 3),
             'videos': [list(s) for s in VIDEO_SHAPES],
             'backend_agreement': round(r18['agreement'], 5),

@@ -51,6 +51,10 @@ def parse_args():
     parser.add_argument('--profile', default=None, metavar='DIR',
                         help='capture a jax.profiler trace of the '
                              'end-to-end phase')
+    parser.add_argument('--bf16', action='store_true',
+                        help='bf16 mixed precision (the production '
+                             'fp16=dict() config path): bf16 backbone '
+                             'compute, fp32 master params/BN')
     parser.add_argument('--device-aug', action='store_true',
                         help='move the augmentation chain onto the TPU '
                              '(ops/device_aug): the host only decodes + '
@@ -201,6 +205,12 @@ def main():
     loader_sps = got / (time.time() - t0)
 
     # 2) device-only: jitted SimSiam train step on one resident batch
+    if args.bf16:
+        from vfs_tpu.apis.train import apply_mixed_precision
+        cfg.bf16 = True
+        assert apply_mixed_precision(cfg)
+        print('bf16 mixed precision: backbone compute bf16, '
+              'fp32 master params/BN')
     model = build_model(cfg.model, train_cfg=cfg.get('train_cfg'))
     tx, _ = build_optimizer(cfg.optimizer, cfg.get('lr_config'),
                             1000, 100, None)
@@ -208,6 +218,7 @@ def main():
         model, jax.random.PRNGKey(0), first, tx,
         aug_out_hw=device_aug_fn.out_hw if device_aug_fn else None)
     train_step = jax.jit(make_train_step(model, tx,
+                                         mixed_precision=args.bf16,
                                          device_aug=device_aug_fn),
                          donate_argnums=(0,))
     imgs_dev = jnp.asarray(first['imgs'])

@@ -330,16 +330,23 @@ class VanillaTracker:
                 # compute of video i+1 (the tunnel readback is ~40% of
                 # "compute" wall on remote-device hosts, PROGRESS r3)
                 seg_preds = seg_preds[:t_real]  # slice BEFORE the async
-                try:  # copy so the started DMA is the one finish() reads
-                    seg_preds.copy_to_host_async()
-                except Exception:
-                    pass
+                # copy so the started DMA is the one finish() reads.
+                # defer_fetch='nocopy' skips the eager DMA — used by
+                # device-only benchmarks, where the background readback
+                # would saturate the host link the measurement excludes
+                if defer_fetch != 'nocopy':
+                    try:
+                        seg_preds.copy_to_host_async()
+                    except Exception:
+                        pass
 
                 def finish(seg_preds=seg_preds, first_pred=first_pred):
                     sp = self._fetch_preds(seg_preds, t_real,
                                            original_shape, pack)
                     sp[0] = first_pred  # frame 0 = GT (reference :118)
                     return [sp]  # == list(all_seg_preds[0]) eager layout
+                finish.seg_preds = seg_preds  # device handle (benchmarks
+                # force completion with a scalar sum, no bulk readback)
                 return finish
             seg_preds = self._fetch_preds(seg_preds, t_real, original_shape,
                                           pack)
