@@ -5,7 +5,9 @@ Functional re-design of the reference VanillaTracker
 
   - feature bank extraction runs the backbone over frame chunks inside one
     jit (``lax.map``) — the bank stays in HBM (the reference offloads to CPU
-    in chunks of ``batch_step=10``, :55-75);
+    in chunks of ``batch_step`` frames, :55-75 — default 20:
+    measured 1.5x faster extraction than 10 with zero extra padding,
+    PROGRESS r3);
   - the frame loop is ``vfs_tpu.ops.propagation.propagate_video`` (a single
     ``lax.scan``) instead of a python loop with CPU<->GPU bank traffic;
   - decode (bilinear upsample + min-max normalize + argmax) happens on
@@ -208,7 +210,7 @@ class VanillaTracker:
         call from a prefetch thread to overlap the (slow) host link with
         the previous video's compute. ``device`` pins the video to a
         specific chip (multi-chip eval; see ``distribute``)."""
-        batch_step = int(self.test_cfg.get('batch_step', 10))
+        batch_step = int(self.test_cfg.get('batch_step', 20))
         t_real = imgs.shape[0]
         t_pad = _round_up(max(t_real, 2), max(batch_step, 20))
         t_pad = _round_up(t_pad, batch_step)
@@ -227,7 +229,7 @@ class VanillaTracker:
         uint8 prediction arrays (reference forward_test,
         vanilla_tracker.py:80-206)."""
         test_cfg = self.test_cfg
-        batch_step = int(test_cfg.get('batch_step', 10))
+        batch_step = int(test_cfg.get('batch_step', 20))
         if isinstance(imgs, tuple) and imgs[0] == 'preloaded':
             imgs_dev, t_real = imgs[1], imgs[2]
         else:
