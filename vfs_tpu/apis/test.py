@@ -107,8 +107,19 @@ def _multi_device_test(model, dataset, devices, progress, logger) -> List:
     import threading
     lock = threading.Lock()
 
+    import inspect
+    try:
+        defer = 'defer_fetch' in inspect.signature(
+            model.forward_test).parameters
+    except (TypeError, ValueError):
+        defer = False
+
     def worker(t):
         dev = devices[t]
+        # per-chip pipelined readback: the thread dispatches video i+1's
+        # compute on its chip before resolving video i's fetch (same
+        # pattern as the single-device loop)
+        prev = None  # (index, finish)
         for i in range(t, n, len(devices)):
             sample = dataset[i]
             imgs = sample['imgs']
@@ -117,15 +128,25 @@ def _multi_device_test(model, dataset, devices, progress, logger) -> List:
                 imgs = imgs[0]
             if hasattr(model, 'preload'):
                 imgs = model.preload(imgs, device=dev)
-            preds = model.forward_test(imgs, sample['ref_seg_map'],
-                                       [sample['img_meta']])
-            results[i] = preds
+            if defer:
+                finish = model.forward_test(imgs, sample['ref_seg_map'],
+                                            [sample['img_meta']],
+                                            defer_fetch=True)
+                if prev is not None:
+                    results[prev[0]] = prev[1]()
+                prev = (i, finish)
+            else:
+                results[i] = model.forward_test(imgs,
+                                                sample['ref_seg_map'],
+                                                [sample['img_meta']])
             if progress:
                 with lock:
                     done[0] += 1
                     logger.info(
                         f'eval [{done[0]}/{n}] (chip {t}) '
                         f'{sample["img_meta"].get("frame_dir", "")}')
+        if prev is not None:
+            results[prev[0]] = prev[1]()
 
     with concurrent.futures.ThreadPoolExecutor(len(devices)) as pool:
         futures = [pool.submit(worker, t) for t in range(len(devices))]
