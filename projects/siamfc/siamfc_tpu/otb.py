@@ -86,24 +86,34 @@ class ExperimentOTB:
                                                      'track_batch'):
             seqs = [_load_otb_seq(d) for d in self.seq_dirs]
             pairs = [(f, a[0]) for f, a in seqs]
-            # two interleaved streams on the one device: while stream A
-            # blocks on its wave's transfer+compute (GIL released), stream
-            # B does its host-side crops/post-processing — on a 1-core
-            # host the host work is ~30% of the wave, so the overlap is
-            # most of the remaining single-stream loss
-            if len(pairs) > batch_size:
+            # interleaved streams: while stream A blocks on its wave's
+            # transfer+compute (GIL released), stream B does its
+            # host-side crops/post-processing — on a 1-core host the
+            # host work is ~30% of the wave, so the overlap is most of
+            # the remaining single-stream loss. With multiple chips,
+            # one weight-replica stream per chip composes both levers.
+            trackers = [tracker]
+            if devices is not None and len(devices) > 1 \
+                    and hasattr(tracker, 'clone'):
+                trackers = [tracker.clone(d) for d in devices]
+            n_streams = max(len(trackers),
+                            2 if len(pairs) > batch_size else 1)
+            if n_streams > 1:
                 import concurrent.futures
-                halves = [list(range(0, len(pairs), 2)),
-                          list(range(1, len(pairs), 2))]
+                groups = [list(range(s, len(pairs), n_streams))
+                          for s in range(n_streams)]
                 results = [None] * len(pairs)
 
-                def worker(idx):
-                    sub = tracker.track_batch([pairs[i] for i in idx],
-                                              batch_size=batch_size)
-                    for i, r in zip(idx, sub):
+                def worker(s):
+                    trk = trackers[s % len(trackers)]
+                    sub = trk.track_batch([pairs[i] for i in groups[s]],
+                                          batch_size=batch_size)
+                    for i, r in zip(groups[s], sub):
                         results[i] = r
-                with concurrent.futures.ThreadPoolExecutor(2) as pool:
-                    futs = [pool.submit(worker, h) for h in halves]
+                with concurrent.futures.ThreadPoolExecutor(
+                        n_streams) as pool:
+                    futs = [pool.submit(worker, s)
+                            for s in range(n_streams)]
                     for f in futs:
                         f.result()
             else:
