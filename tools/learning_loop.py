@@ -52,7 +52,10 @@ STD = [58.395, 57.12, 57.375]
 
 TRAIN_HW = (72, 96)    # stored frames
 CROP = 64              # train crop fed to the backbone
-VAL_HW = (64, 88)      # held-out eval videos (feature grid 8x11)
+# held-out eval videos: 16x22 feature grid at stride 8 — a coarser grid
+# (64x88 -> 8x11) quantization-caps J&F for trained AND random features
+# alike, hiding the feature-quality margin the tool demonstrates
+VAL_HW = (128, 176)
 
 
 def _texture(rng, h, w, base_rgb, contrast=60.0, cell=6):
@@ -124,16 +127,22 @@ def _render_video(rng, n_frames, hw, n_sprites=2):
     return frames, masks
 
 
-def make_synthetic_world(root, n_train=24, n_val=6, train_frames=16,
+def make_synthetic_world(root, n_train=24, n_val=12, train_frames=16,
                          val_frames=12, seed=0):
     """Write train rawframes + val DAVIS-layout dirs. Deterministic in
-    ``seed``. Returns (train_ann, val_ann, img_root, ann_root)."""
+    ``seed``; the val split is drawn FIRST so it is identical across
+    ``n_train`` settings (comparable margins between data-scale probes).
+    Returns (train_ann, val_ann, img_root, ann_root)."""
     from PIL import Image
     from vfs_tpu.datasets.davis_dataset import PALETTE
     rng = np.random.RandomState(seed)
     train_root = osp.join(root, 'train')
     img_root = osp.join(root, 'JPEGImages/480p')
     ann_root = osp.join(root, 'Annotations/480p')
+
+    val_videos = [_render_video(rng, val_frames, VAL_HW)
+                  for _ in range(n_val)]
+
     train_lines = []
     for v in range(n_train):
         name = f'train{v:03}'
@@ -149,11 +158,10 @@ def make_synthetic_world(root, n_train=24, n_val=6, train_frames=16,
         f.writelines(train_lines)
 
     val_lines = []
-    for v in range(n_val):
+    for v, (frames, masks) in enumerate(val_videos):
         name = f'val{v:03}'
         os.makedirs(osp.join(img_root, name), exist_ok=True)
         os.makedirs(osp.join(ann_root, name), exist_ok=True)
-        frames, masks = _render_video(rng, val_frames, VAL_HW)
         for t in range(val_frames):
             Image.fromarray(frames[t]).save(
                 osp.join(img_root, name, f'{t:05}.jpg'), quality=90)
