@@ -53,15 +53,22 @@ PEAK_FLOPS_BF16 = 197e12
 #   r18: configs/r18_nc_sgd_cos_100e_r2_1xNx8_k400.py (neighbor_range=24)
 #   r50: configs/r50_nc_sgd_cos_100e_r5_1xNx2_k400.py:27-36
 #        (neighbor_range=36, layer3 C=1024)
+# input_format='yuv420': ship planar 4:2:0 (1.5 bytes/px) over the host
+# link and reconstruct RGB inside the extraction jit (ops/yuv.py) — video
+# sources are natively 4:2:0, so this is the decoder's own sampling, not
+# an approximation the source didn't already have. Halves the upload,
+# which is the e2e bottleneck on a tunneled host (1.23 MB/frame at
+# host_link_GBps). Quality is gated by the same fixture J&F floor; the
+# backend-agreement gates run on identical (yuv-transported) inputs.
 TEST_CFGS = {
     18: dict(precede_frames=20, topk=10, temperature=0.07,
              strides=(1, 2, 1, 1), out_indices=(2,), neighbor_range=24,
              with_first=True, with_first_neighbor=True, batch_step=20,
-             pallas_precision='bfloat16'),
+             pallas_precision='bfloat16', input_format='yuv420'),
     50: dict(precede_frames=20, topk=10, temperature=0.07,
              strides=(1, 2, 1, 1), out_indices=(2,), neighbor_range=36,
              with_first=True, with_first_neighbor=True, batch_step=20,
-             pallas_precision='bfloat16'),
+             pallas_precision='bfloat16', input_format='yuv420'),
 }
 TEST_CFG = TEST_CFGS[18]
 
@@ -139,7 +146,8 @@ def measure_compute_only(model, video, repeats=3):
 
 
 def measure_transfer(model, video, repeats=3):
-    """Host->device link bandwidth through the production preload path."""
+    """Host->device link bandwidth through the production preload path
+    (physical bytes: the yuv420 transport ships imgs.nbytes/2)."""
     import jax
     import jax.numpy as jnp
     imgs = video[0]
@@ -151,7 +159,7 @@ def measure_transfer(model, video, repeats=3):
         handle = model.preload(imgs)
         float(force(handle[1]))  # reads every byte -> transfer complete
         times.append(time.time() - t0)
-    return imgs.nbytes / statistics.median(times)
+    return handle[1].nbytes / statistics.median(times)
 
 
 def check_backend_agreement(model, video):
@@ -186,13 +194,18 @@ def check_fixture_jf(model):
     from test_data.test_davis_e2e import VAL_PIPELINE, make_mini_davis
     from vfs_tpu.apis.test import single_process_test
     from vfs_tpu.datasets import build_dataset
+    # on-device normalize keeps frames uint8 through the pipeline so the
+    # gate exercises the production transport end-to-end — including the
+    # yuv420 packing when test_cfg.input_format asks for it
+    pipeline = [dict(step, on_device=True) if step['type'] == 'Normalize'
+                else step for step in VAL_PIPELINE]
     tmp = tempfile.mkdtemp()
     try:
         ann, img_root, ann_root = make_mini_davis(tmp, num_videos=2,
                                                   num_frames=6)
         dataset = build_dataset(dict(
             type='DavisDataset', ann_file=ann, data_prefix=img_root,
-            anno_prefix=ann_root, data_root=tmp, pipeline=VAL_PIPELINE,
+            anno_prefix=ann_root, data_root=tmp, pipeline=pipeline,
             test_mode=True))
         results = single_process_test(model, dataset, progress=False)
         metrics = dataset.evaluate(results, metrics='davis')
@@ -371,6 +384,7 @@ def main():
                 'backend': 'pallas',
                 'batch_step': TEST_CFG['batch_step'],
                 'nibble_packed_readback': True,
+                'input_format': TEST_CFG.get('input_format', 'rgb'),
             },
         },
     }))

@@ -108,20 +108,28 @@ class VanillaTracker:
         return out
 
     # -- jitted stages ----------------------------------------------------
-    @functools.partial(jax.jit, static_argnames=('self', 'batch_step'))
+    @functools.partial(jax.jit,
+                       static_argnames=('self', 'batch_step', 'yuv_hw'))
     def _extract_feats(self, variables, imgs: jnp.ndarray, batch_step: int,
-                       norm_mean=None, norm_std=None):
+                       norm_mean=None, norm_std=None, yuv_hw=None):
         """imgs (T, H, W, 3) -> tuple of (T, h, w, c) feature banks.
 
         T must be a multiple of batch_step; runs the backbone per chunk
         inside lax.map (reference get_feats, vanilla_tracker.py:55-75).
         uint8 inputs are normalized on device (ships 4x less data over the
-        host link than pre-normalized float32)."""
+        host link than pre-normalized float32). ``yuv_hw=(H, W)`` means
+        ``imgs`` is the flat planar-I420 transport layout (1.5 bytes/px —
+        another 2x fewer link bytes; see ops/yuv.py): the chroma
+        upsample + BT.601 inverse fuse into this jit ahead of conv1."""
         t = imgs.shape[0]
         chunks = imgs.reshape(t // batch_step, batch_step, *imgs.shape[1:])
 
         def fwd(chunk):
-            if chunk.dtype == jnp.uint8:
+            if yuv_hw is not None:
+                from ...ops.yuv import yuv420_to_rgb
+                chunk = yuv420_to_rgb(chunk, *yuv_hw)
+                chunk = (chunk - norm_mean) / norm_std
+            elif chunk.dtype == jnp.uint8:
                 chunk = (chunk.astype(jnp.float32) - norm_mean) / norm_std
             outs = self.backbone.apply(variables, chunk, train=False)
             outs = outs if isinstance(outs, tuple) else (outs,)
@@ -209,16 +217,30 @@ class VanillaTracker:
         transfer. Returns an opaque handle accepted by ``forward_test`` —
         call from a prefetch thread to overlap the (slow) host link with
         the previous video's compute. ``device`` pins the video to a
-        specific chip (multi-chip eval; see ``distribute``)."""
+        specific chip (multi-chip eval; see ``distribute``).
+
+        ``test_cfg.input_format='yuv420'`` (uint8 RGB inputs only) packs
+        frames to planar I420 before the transfer — 1.5 bytes/pixel
+        instead of 3, the native sampling of video sources. The device
+        reconstructs RGB inside the extraction jit (ops/yuv.py)."""
         batch_step = int(self.test_cfg.get('batch_step', 20))
         t_real = imgs.shape[0]
         t_pad = _round_up(max(t_real, 2), max(batch_step, 20))
         t_pad = _round_up(t_pad, batch_step)
+        yuv = (self.test_cfg.get('input_format', 'rgb') == 'yuv420'
+               and imgs.dtype == np.uint8 and imgs.ndim == 4
+               and imgs.shape[-1] == 3)
+        if yuv:
+            from ...ops.yuv import rgb_to_yuv420
+            hw = imgs.shape[1:3]
+            imgs = rgb_to_yuv420(imgs)
         imgs_pad = np.concatenate(
             [imgs, np.zeros((t_pad - t_real,) + imgs.shape[1:],
                             imgs.dtype)], axis=0) if t_pad > t_real else imgs
-        return ('preloaded', jax.device_put(jnp.asarray(imgs_pad), device),
-                t_real)
+        dev_arr = jax.device_put(jnp.asarray(imgs_pad), device)
+        if yuv:
+            return ('preloaded_yuv', dev_arr, t_real, tuple(hw))
+        return ('preloaded', dev_arr, t_real)
 
     def forward_test(self, imgs, ref_seg_map: np.ndarray,
                      img_meta: List[Dict[str, Any]],
@@ -230,10 +252,17 @@ class VanillaTracker:
         vanilla_tracker.py:80-206)."""
         test_cfg = self.test_cfg
         batch_step = int(test_cfg.get('batch_step', 20))
-        if isinstance(imgs, tuple) and imgs[0] == 'preloaded':
+        yuv_hw = None
+        if isinstance(imgs, tuple) and imgs[0] == 'preloaded_yuv':
+            imgs_dev, t_real, yuv_hw = imgs[1], imgs[2], imgs[3]
+        elif isinstance(imgs, tuple) and imgs[0] == 'preloaded':
             imgs_dev, t_real = imgs[1], imgs[2]
         else:
-            _, imgs_dev, t_real = self.preload(imgs)
+            handle = self.preload(imgs)
+            if handle[0] == 'preloaded_yuv':
+                _, imgs_dev, t_real, yuv_hw = handle
+            else:
+                _, imgs_dev, t_real = handle
 
         norm_mean = norm_std = None
         if imgs_dev.dtype == jnp.uint8:
@@ -243,7 +272,8 @@ class VanillaTracker:
             norm_mean = jnp.asarray(norm_cfg['mean'], jnp.float32)
             norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
         feats = self._extract_feats(self._variables_for(imgs_dev), imgs_dev,
-                                    batch_step, norm_mean, norm_std)
+                                    batch_step, norm_mean, norm_std,
+                                    yuv_hw=yuv_hw)
 
         original_shape = tuple(img_meta[0]['original_shape'][:2])
         input_onehot = ref_seg_map.ndim == 3  # (H, W, K) soft labels
