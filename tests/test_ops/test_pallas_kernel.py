@@ -120,6 +120,58 @@ def test_pallas_bf16_matmul_close():
                                rtol=0.15, atol=0.08)
 
 
+@pytest.mark.parametrize('h,w,nr,tile,topk', [
+    (12, 14, 6, (4, 8), 4),
+    (10, 11, 8, (8, 8), 3),   # non-divisible both dims, padded lanes
+])
+def test_pallas_packed_extract_parity(h, w, nr, tile, topk):
+    """extract_mode='packed' (single int-max top-k passes over
+    16-bit-quantized (score, index) packs + exact-score epilogue) must
+    reproduce the exact kernel away from sub-4.6e-4 score ties — on
+    random inputs that is everywhere."""
+    rng = np.random.RandomState(7)
+    f, c, k = 5, 16, 3
+    radius = nr // 2
+    query = l2_normalize(jnp.asarray(rng.randn(h, w, c), jnp.float32), -1)
+    bank_f = l2_normalize(
+        jnp.asarray(rng.randn(f, h, w, c), jnp.float32), -1)
+    bank_v = jnp.asarray(rng.rand(f, h, w, k), jnp.float32)
+    valid = jnp.asarray([1, 1, 1, 0, 0])
+    qp = pad_for_pallas(query, h, w, radius, tile)
+    bp = pad_for_pallas(bank_f, h, w, radius, tile)
+    outs = {
+        em: np.asarray(pallas_local_topk_attend(
+            qp, bp, bank_v, valid, radius=radius, temperature=0.07,
+            topk=topk, h=h, w=w, tile=tile, interpret=True,
+            extract_mode=em))
+        for em in ('mask', 'packed')
+    }
+    agree = (outs['mask'].argmax(-1) == outs['packed'].argmax(-1)).mean()
+    assert agree == 1.0, agree
+    # identical selections -> identical softmax inputs up to the
+    # epilogue's re-dot accumulation order
+    np.testing.assert_allclose(outs['packed'], outs['mask'],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_packed_index_overflow_raises():
+    """packed mode packs the flat key index into 16 bits; banks whose
+    padded key space exceeds 65536 must be rejected, not corrupted."""
+    h, w, f, c, k = 12, 14, 60, 8, 2
+    radius, tile = 10, (8, 8)
+    query = jnp.zeros((h, w, c), jnp.float32)
+    bank_f = jnp.zeros((f, h, w, c), jnp.float32)
+    bank_v = jnp.zeros((f, h, w, k), jnp.float32)
+    valid = jnp.ones((f,), jnp.int32)
+    qp = pad_for_pallas(query, h, w, radius, tile)
+    bp = pad_for_pallas(bank_f, h, w, radius, tile)
+    with pytest.raises(ValueError, match='65536'):
+        pallas_local_topk_attend(
+            qp, bp, bank_v, valid, radius=radius, temperature=0.07,
+            topk=3, h=h, w=w, tile=tile, interpret=True,
+            extract_mode='packed')
+
+
 def test_propagation_cfg_bf16_matmul():
     """The PropagationConfig knob routes through propagate_video (the
     production scan) and stays close to the exact path."""

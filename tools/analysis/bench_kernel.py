@@ -92,6 +92,12 @@ def main():
             'pallas_bf16mm_batched': PropagationConfig(
                 **base, backend='pallas', pallas_tile=tile,
                 pallas_precision='bfloat16', pallas_matmul='batched'),
+            'pallas_packed': PropagationConfig(
+                **base, backend='pallas', pallas_tile=tile,
+                pallas_extract='packed'),
+            'pallas_bf16mm_packed': PropagationConfig(
+                **base, backend='pallas', pallas_tile=tile,
+                pallas_precision='bfloat16', pallas_extract='packed'),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

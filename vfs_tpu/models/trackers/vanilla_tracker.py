@@ -345,7 +345,8 @@ class VanillaTracker:
                 pallas_precision=test_cfg.get('pallas_precision',
                                               'float32'),
                 pallas_matmul=test_cfg.get('pallas_matmul', 'perframe'),
-                pallas_group_frames=test_cfg.get('pallas_group_frames'))
+                pallas_group_frames=test_cfg.get('pallas_group_frames'),
+                pallas_extract=test_cfg.get('pallas_extract', 'mask'))
 
             pack = (not input_onehot) and k_pad <= 16 \
                 and bool(test_cfg.get('pack_preds', True))

@@ -42,11 +42,37 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+INT_MIN = -2**31  # python int: pallas kernels may not capture jnp scalars
+# packed mode: scores quantized to 16 bits over [-15, 15] (valid scores
+# are |dot|/tau <= 1/0.07 = 14.3; masked = NEG_INF clips to the -15
+# sentinel, below every valid score) -> absolute selection step
+# 30/2^16 = 4.6e-4
+PACKED_SCALE = 65536.0 / 30.0
+
+
 def _topk_tail(scores_buf, out_s_ref, out_i_ref, q_n, total_k, topk,
                extract_mode, scores_dtype):
-    """Exact top-k extraction tail shared by both kernel variants: k
-    unrolled passes of row-max + first-occurrence (tie rule: lowest flat
-    index first, torch.topk parity)."""
+    """Top-k extraction tail shared by the kernel variants: k unrolled
+    passes of row-max + first-occurrence (tie rule: lowest flat index
+    first, torch.topk parity)."""
+    if extract_mode == 'packed':
+        # scores_buf holds (quantized_score << 16) | (0xFFFF - col):
+        # ONE int max per pass yields value AND index together, and the
+        # mask-out predicate is a plain equality — 4 VPU ops/element/pass
+        # vs 7 for 'mask' (measured issue-bound, PROGRESS r2). Selection
+        # is by the quantized score (ties -> lowest flat index); the
+        # epilogue recomputes exact scores for the softmax from the
+        # returned indices.
+        top_i = []
+        for p in range(topk):
+            s = scores_buf[:]
+            m = jnp.max(s, axis=1, keepdims=True)       # (Q, 1) packed
+            top_i.append(0xFFFF - (m & 0xFFFF))
+            if p + 1 < topk:
+                scores_buf[:] = jnp.where(s == m, INT_MIN, s)
+        out_s_ref[0, 0] = jnp.zeros((q_n, topk), jnp.float32)
+        out_i_ref[0, 0] = jnp.concatenate(top_i, axis=1)
+        return
     col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
     top_s = []
     top_i = []
@@ -251,6 +277,8 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
 
             key_copy(0, 0).start()
         q = q_buf[:].reshape(q_n, c)
+        col_iota = (lax.broadcasted_iota(jnp.int32, (q_n, kb_n), 1)
+                    if extract_mode == 'packed' else None)
         if store_mode == 'memset' and kb_pad > kb_n:
             # fill the pad lanes once instead of re-concatenating a
             # padded copy every frame (A/B experiment)
@@ -280,12 +308,27 @@ def _make_kernel(th, tw, r, rw, radius, h, w, c, f_frames, topk,
                 preferred_element_type=jnp.float32) * (1.0 / temperature)
             scores = scores + mask_buf[:, :kb_n]  # additive mask
             scores = jnp.where(valid_ref[f] > 0, scores, NEG_INF)
-            # bf16 scores (the extraction passes sweep half the bytes;
-            # bf16 shares f32's exponent so NEG_INF survives the cast)
-            scores = scores.astype(scores_dtype)
             # kb_pad is a 128-multiple, so the dynamic lane offset is
             # provably aligned
             off = pl.multiple_of(f * kb_pad, 128)
+            if extract_mode == 'packed':
+                # quantize + pack (score, flat col) into one int32 at
+                # store time — the scores are already in registers here,
+                # so the pack costs no extra sweep (see _topk_tail)
+                qs = jnp.round(jnp.clip(scores, -15.0, 15.0) *
+                               PACKED_SCALE).astype(jnp.int32)
+                inv = (0xFFFF - off) - col_iota
+                scores = qs * 65536 + inv
+                if kb_pad > kb_n:
+                    scores = jnp.concatenate(
+                        [scores,
+                         jnp.full((q_n, kb_pad - kb_n), INT_MIN,
+                                  jnp.int32)], axis=1)
+                scores_buf[:, pl.ds(off, kb_pad)] = scores
+                return 0
+            # bf16 scores (the extraction passes sweep half the bytes;
+            # bf16 shares f32's exponent so NEG_INF survives the cast)
+            scores = scores.astype(scores_dtype)
             if store_mode == 'memset' and kb_pad > kb_n:
                 scores_buf[:, pl.ds(off, kb_n)] = scores
             else:
@@ -361,9 +404,9 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     Returns:
         (h, w, K) propagated logits.
     """
-    if extract_mode not in ('mask', 'descent'):
-        raise ValueError(f"extract_mode must be 'mask' or 'descent', got "
-                         f"{extract_mode!r}")
+    if extract_mode not in ('mask', 'descent', 'packed'):
+        raise ValueError(f"extract_mode must be 'mask', 'descent' or "
+                         f"'packed', got {extract_mode!r}")
     if scores_dtype not in ('float32', 'bfloat16'):
         raise ValueError(f"scores_dtype must be 'float32' or 'bfloat16', "
                          f"got {scores_dtype!r}")
@@ -377,6 +420,13 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
         raise ValueError(f"matmul_mode must be 'perframe' or 'batched', "
                          f"got {matmul_mode!r}")
     s_dtype = jnp.dtype(scores_dtype)
+    if extract_mode == 'packed':
+        if matmul_mode != 'perframe' or store_mode != 'concat' \
+                or scores_dtype != 'float32':
+            raise ValueError("extract_mode='packed' requires "
+                             "matmul_mode='perframe', store_mode='concat' "
+                             "and scores_dtype='float32'")
+        s_dtype = jnp.dtype(jnp.int32)  # (quantized score, col) packed
     feat_dtype = jnp.dtype(jnp.bfloat16) if matmul_precision == 'bfloat16' \
         else jnp.dtype(jnp.float32)
     query_padded = query_padded.astype(feat_dtype)
@@ -419,6 +469,10 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
             float(temperature), extract_mode, scores_dtype=s_dtype,
             fetch_mode=fetch_mode, feat_dtype=feat_dtype,
             store_mode=store_mode)
+        if extract_mode == 'packed' and total_k > 65536:
+            raise ValueError(
+                f"extract_mode='packed' packs the flat key index into 16 "
+                f"bits; total_k={total_k} > 65536 (use 'mask')")
         seg = kb_pad
         key_buf_shape = (f_frames if fetch_mode == 'whole' else 2,
                          kbh, kbw, c)
@@ -496,6 +550,22 @@ def pallas_local_topk_attend(query_padded: jnp.ndarray,
     x = jnp.clip(tx + b - rw, 0, w - 1)
     f_idx = jnp.clip(f_idx, 0, f_frames - 1)
     vals = bank_vals[f_idx, y, x]                       # (nth,ntw,Q,k,K)
+    if extract_mode == 'packed':
+        # the kernel selected by 16-bit-quantized scores and returned
+        # indices only; recompute the exact scores for the softmax by
+        # re-dotting each query with its k selected keys (tiny: Q*k
+        # length-C dots per tile)
+        qq = jnp.arange(q_n)
+        qy = jnp.clip(ty + (qq // tw)[None, None, :, None], 0, h - 1)
+        qx = jnp.clip(tx + (qq % tw)[None, None, :, None], 0, w - 1)
+        q_sel = query_padded[qy + r, qx + rw]           # (nth,ntw,Q,1,C)
+        k_sel = bank_feats[f_idx, y + r, x + rw]        # (nth,ntw,Q,k,C)
+        top_s = jnp.einsum(
+            'abqoc,abqkc->abqk', q_sel, k_sel,
+            precision=(lax.Precision.DEFAULT
+                       if feat_dtype == jnp.bfloat16
+                       else lax.Precision.HIGHEST),
+            preferred_element_type=jnp.float32) * (1.0 / temperature)
     weights = jax.nn.softmax(top_s, axis=-1)
     out = jnp.einsum('abqk,abqkc->abqc', weights, vals,
                      preferred_element_type=jnp.float32)

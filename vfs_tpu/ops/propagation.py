@@ -74,6 +74,12 @@ class PropagationConfig(NamedTuple):
     pallas_matmul: str = 'perframe'
     # frames per matmul group in batched mode (None = auto VMEM fit)
     pallas_group_frames: Optional[int] = None
+    # top-k extraction: 'mask' (exact, default), 'descent' (exact,
+    # store-free A/B reference), 'packed' (16-bit-quantized selection
+    # packed with the index into one int32 — single int max per pass,
+    # ~4 vs 7 VPU ops/element on the issue-bound sweep; exact scores
+    # recomputed in the epilogue)
+    pallas_extract: str = 'mask'
     # run the kernel in pallas interpret mode (CPU testing only)
     pallas_interpret: bool = False
 
@@ -298,6 +304,7 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
             store_mode=cfg.pallas_store,
             matmul_mode=cfg.pallas_matmul,
             group_frames=cfg.pallas_group_frames,
+            extract_mode=cfg.pallas_extract,
             interpret=cfg.pallas_interpret)
         slot = 1 + jnp.mod(t, p)
         bank_feats = jax.lax.dynamic_update_index_in_dim(
