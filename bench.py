@@ -245,6 +245,7 @@ def measure_extract_stage(model, video, repeats=3):
     imgs, seg, meta = video
     handle = model.preload(imgs)
     imgs_dev, t = handle[1], imgs.shape[0]
+    yuv_hw = handle[3] if handle[0] == 'preloaded_yuv' else None
     batch_step = int(model.test_cfg.get('batch_step', 10))
     norm = meta['img_norm_cfg']
     mean = jnp.asarray(norm['mean'], jnp.float32)
@@ -257,20 +258,21 @@ def measure_extract_stage(model, video, repeats=3):
     float(tiny(jnp.zeros(())))
     rtt = time.time() - t0
 
-    feats = model._extract_feats(variables, imgs_dev, batch_step, mean, std)
+    feats = model._extract_feats(variables, imgs_dev, batch_step, mean, std,
+                                 yuv_hw=yuv_hw)
     float(feats[0].sum())  # force (compile + residency)
     times = []
     for _ in range(repeats):
         t0 = time.time()
         feats = model._extract_feats(variables, imgs_dev, batch_step,
-                                     mean, std)
+                                     mean, std, yuv_hw=yuv_hw)
         float(feats[0].sum())
         times.append(time.time() - t0)
     wall = max(statistics.median(times) - rtt, 1e-9)
     # jit binds self for __call__ but not for .lower — pass it explicitly
     cost = model._extract_feats.lower(
         model, variables, imgs_dev, batch_step, mean,
-        std).compile().cost_analysis()
+        std, yuv_hw=yuv_hw).compile().cost_analysis()
     # XLA cost analysis counts the lax.map BODY once (one chunk of
     # ``batch_step`` frames) — per-frame = /batch_step
     flops_pf = float(cost.get('flops', float('nan'))) / batch_step
