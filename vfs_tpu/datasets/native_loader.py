@@ -68,6 +68,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fl_probe.argtypes = [ctypes.c_char_p,
                                  ctypes.POINTER(ctypes.c_int),
                                  ctypes.POINTER(ctypes.c_int)]
+        if hasattr(lib, 'fl_decode_batch_yuv420'):
+            lib.fl_decode_batch_yuv420.restype = ctypes.c_int
+            lib.fl_decode_batch_yuv420.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         _lib = lib
         return lib
 
@@ -108,6 +113,37 @@ def decode_jpeg_batch(paths: List[str],
     if ok != n:
         return None
     return out
+
+
+def decode_jpeg_batch_yuv420(paths: List[str],
+                             num_threads: int = 8):
+    """Decode JPEGs straight to packed planar I420 (no host RGB).
+
+    Returns an ``ops.yuv.Yuv420Frames`` (N, H*W*3/2) in the full-range
+    'jpeg' convention — the values the files store; libjpeg's own
+    YCbCr->RGB conversion is skipped entirely and the device does it
+    fused ahead of conv1 (ops/yuv.py). All frames must share the first
+    frame's native (even) size; returns None when the native library is
+    unavailable or any frame fails (caller falls back to the RGB path).
+    """
+    lib = get_lib()
+    if lib is None or not paths or not hasattr(lib,
+                                               'fl_decode_batch_yuv420'):
+        return None
+    probed = probe_jpeg(paths[0])
+    if probed is None or probed[0] % 2 or probed[1] % 2:
+        return None
+    h, w = probed
+    n = len(paths)
+    out = np.empty((n, h * w * 3 // 2), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    ok = lib.fl_decode_batch_yuv420(
+        arr, n, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    if ok != n:
+        return None
+    from ..ops.yuv import Yuv420Frames
+    return Yuv420Frames(out, (h, w), convention='jpeg')
 
 
 # ---------------------------------------------------------------------------

@@ -355,6 +355,80 @@ class RawFrameDecode:
         return results
 
 
+@PIPELINES.register_module()
+class RawFrameDecodeYUV420(RawFrameDecode):
+    """Decode JPEG rawframes straight to packed planar I420 — the eval
+    fast path for videos already at target resolution (DAVIS 480p).
+
+    TPU-first replacement for the Decode -> Resize(identity) ->
+    Normalize host chain: the native loader reads the file's own
+    YCbCr 4:2:0 values (no host color conversion, no host normalize),
+    ships 1.5 bytes/px, and the device reconstructs + normalizes fused
+    ahead of conv1 (ops/yuv.py; VanillaTracker.preload recognizes the
+    ``Yuv420Frames`` array). Falls back to cv2 RGB decode + host pack
+    (studio convention) when the native library is unavailable.
+
+    ``mean``/``std`` take Normalize's role (the frames stay packed, so a
+    host Normalize cannot follow); downstream geometric transforms are
+    unsupported by design — use the plain RGB pipeline when resizing.
+    """
+
+    def __init__(self, io_backend='disk', decoding_backend='native',
+                 num_threads=8, mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375), **kwargs):
+        super().__init__(io_backend=io_backend,
+                         decoding_backend=decoding_backend,
+                         num_threads=num_threads, **kwargs)
+        self.mean = np.array(mean, dtype=np.float32)
+        self.std = np.array(std, dtype=np.float32)
+
+    def __call__(self, results):
+        from ...ops.yuv import Yuv420Frames, rgb_to_yuv420
+        directory = results['frame_dir']
+        filename_tmpl = results['filename_tmpl']
+        offset = results.get('offset', 0)
+        frame_inds = results['frame_inds']
+        if frame_inds.ndim != 1:
+            frame_inds = np.squeeze(frame_inds)
+        paths = []
+        for frame_idx in frame_inds:
+            frame_idx = int(frame_idx) + offset
+            if 'frame_list' in results:
+                paths.append(osp.join(directory,
+                                      results['frame_list'][frame_idx]))
+            else:
+                paths.append(osp.join(directory,
+                                      filename_tmpl.format(frame_idx)))
+        packed = None
+        if (self.decoding_backend == 'native'
+                and paths and paths[0].lower().endswith(('.jpg', '.jpeg'))):
+            from ..native_loader import decode_jpeg_batch_yuv420
+            packed = decode_jpeg_batch_yuv420(paths,
+                                              num_threads=self.num_threads)
+        if packed is None:
+            import cv2
+            rgb = []
+            for filepath in paths:
+                img = cv2.imread(filepath, cv2.IMREAD_COLOR)
+                if img is None:
+                    raise IOError(f'cannot read frame {filepath}')
+                rgb.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            rgb = np.stack(rgb)
+            packed = Yuv420Frames(rgb_to_yuv420(rgb), rgb.shape[1:3],
+                                  convention='studio')
+        results['imgs'] = packed
+        results['original_shape'] = packed.hw
+        results['img_shape'] = packed.hw
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
+                                       to_bgr=False)
+        if 'seg_map' in results:
+            from PIL import Image
+            seg = np.asarray(Image.open(results['seg_map']))
+            results['ref_seg_map'] = seg
+            assert seg.shape[:2] == results['img_shape']
+        return results
+
+
 def draw_label_map(img, pt, sigma):
     """Draw an unnormalized 2-D gaussian centered at ``pt`` (reference
     loading.py:1077-1103, used for JHMDB pose propagation)."""

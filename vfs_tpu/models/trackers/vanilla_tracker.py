@@ -127,7 +127,7 @@ class VanillaTracker:
         def fwd(chunk):
             if yuv_hw is not None:
                 from ...ops.yuv import yuv420_to_rgb
-                chunk = yuv420_to_rgb(chunk, *yuv_hw)
+                chunk = yuv420_to_rgb(chunk, *yuv_hw)  # (h, w, convention)
                 chunk = (chunk - norm_mean) / norm_std
             elif chunk.dtype == jnp.uint8:
                 chunk = (chunk.astype(jnp.float32) - norm_mean) / norm_std
@@ -223,23 +223,28 @@ class VanillaTracker:
         frames to planar I420 before the transfer — 1.5 bytes/pixel
         instead of 3, the native sampling of video sources. The device
         reconstructs RGB inside the extraction jit (ops/yuv.py)."""
+        from ...ops.yuv import Yuv420Frames, rgb_to_yuv420
         batch_step = int(self.test_cfg.get('batch_step', 20))
         t_real = imgs.shape[0]
         t_pad = _round_up(max(t_real, 2), max(batch_step, 20))
         t_pad = _round_up(t_pad, batch_step)
-        yuv = (self.test_cfg.get('input_format', 'rgb') == 'yuv420'
-               and imgs.dtype == np.uint8 and imgs.ndim == 4
-               and imgs.shape[-1] == 3)
-        if yuv:
-            from ...ops.yuv import rgb_to_yuv420
-            hw = imgs.shape[1:3]
+        yuv_geo = None
+        if isinstance(imgs, Yuv420Frames):
+            # pre-packed by the pipeline (RawFrameDecodeYUV420 — the
+            # decoder's own planes; no host repack)
+            yuv_geo = imgs.hw + (imgs.convention,)
+            imgs = np.asarray(imgs)
+        elif (self.test_cfg.get('input_format', 'rgb') == 'yuv420'
+                and imgs.dtype == np.uint8 and imgs.ndim == 4
+                and imgs.shape[-1] == 3):
+            yuv_geo = tuple(imgs.shape[1:3]) + ('studio',)
             imgs = rgb_to_yuv420(imgs)
         imgs_pad = np.concatenate(
             [imgs, np.zeros((t_pad - t_real,) + imgs.shape[1:],
                             imgs.dtype)], axis=0) if t_pad > t_real else imgs
         dev_arr = jax.device_put(jnp.asarray(imgs_pad), device)
-        if yuv:
-            return ('preloaded_yuv', dev_arr, t_real, tuple(hw))
+        if yuv_geo is not None:
+            return ('preloaded_yuv', dev_arr, t_real, yuv_geo)
         return ('preloaded', dev_arr, t_real)
 
     def forward_test(self, imgs, ref_seg_map: np.ndarray,

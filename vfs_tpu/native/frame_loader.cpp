@@ -133,6 +133,78 @@ int fl_decode_batch(const char** paths, int n, int out_h, int out_w,
   return ok_count.load();
 }
 
+// Decode n JPEG files straight to packed planar I420 (full-range JFIF
+// YCbCr — the values the file stores; no RGB conversion on the host).
+// out is (n, h*w*3/2) uint8: Y plane then 2x2-top-left-subsampled Cb, Cr
+// (plain upsampling is forced so even-coordinate samples equal the
+// stored chroma exactly for 4:2:0 sources). Frames whose native size is
+// not exactly (h, w) are skipped (caller probes + falls back to the RGB
+// path). h and w must be even. Returns the number decoded.
+int fl_decode_batch_yuv420(const char** paths, int n, int h, int w,
+                           uint8_t* out, int num_threads) {
+  if (n <= 0 || h % 2 || w % 2) return 0;
+  if (num_threads <= 0) num_threads = 1;
+  const size_t frame_bytes = static_cast<size_t>(h) * w * 3 / 2;
+  std::atomic<int> next(0);
+  std::atomic<int> ok_count(0);
+
+  auto worker = [&]() {
+    std::vector<uint8_t> row_buf;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      FILE* file = std::fopen(paths[i], "rb");
+      if (file == nullptr) continue;
+      jpeg_decompress_struct cinfo;
+      jpeg_error_mgr jerr;
+      cinfo.err = jpeg_std_error(&jerr);
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, file);
+      if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK ||
+          static_cast<int>(cinfo.image_height) != h ||
+          static_cast<int>(cinfo.image_width) != w) {
+        jpeg_destroy_decompress(&cinfo);
+        std::fclose(file);
+        continue;
+      }
+      cinfo.out_color_space = JCS_YCbCr;
+      cinfo.do_fancy_upsampling = FALSE;  // even coords == stored chroma
+      jpeg_start_decompress(&cinfo);
+      row_buf.resize(static_cast<size_t>(w) * 3 * 2);
+      uint8_t* dst = out + static_cast<size_t>(i) * frame_bytes;
+      uint8_t* yp = dst;
+      uint8_t* up = dst + static_cast<size_t>(h) * w;
+      uint8_t* vp = up + static_cast<size_t>(h) * w / 4;
+      while (cinfo.output_scanline < cinfo.output_height) {
+        const int y = static_cast<int>(cinfo.output_scanline);
+        uint8_t* row = row_buf.data() + (y % 2) * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+        uint8_t* yrow = yp + static_cast<size_t>(y) * w;
+        for (int x = 0; x < w; ++x) yrow[x] = row[x * 3];
+        if (y % 2 == 0) {
+          uint8_t* urow = up + static_cast<size_t>(y / 2) * (w / 2);
+          uint8_t* vrow = vp + static_cast<size_t>(y / 2) * (w / 2);
+          for (int x = 0; x < w; x += 2) {
+            urow[x / 2] = row[x * 3 + 1];
+            vrow[x / 2] = row[x * 3 + 2];
+          }
+        }
+      }
+      jpeg_finish_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      std::fclose(file);
+      ok_count.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  const int nt = num_threads < n ? num_threads : n;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok_count.load();
+}
+
 // Probe a JPEG's native (height, width). Returns 1 on success.
 int fl_probe(const char* path, int* height, int* width) {
   FILE* file = std::fopen(path, "rb");

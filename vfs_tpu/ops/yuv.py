@@ -92,11 +92,18 @@ def yuv420_planes_to_flat(y: np.ndarray, u: np.ndarray,
                            v.reshape(t, -1)], axis=1)
 
 
-def yuv420_to_rgb(buf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def yuv420_to_rgb(buf: jnp.ndarray, h: int, w: int,
+                  convention: str = 'studio') -> jnp.ndarray:
     """Jittable unpack: flat I420 (..., He*We*3/2) uint8 -> (..., H, W, 3)
     float32 RGB in [0, 255]. Chroma is nearest-upsampled (each 2x2 block
     shares its stored sample — the exact inverse of the top-left
-    subsampling for 1 of 4 pixels, neighbor chroma for the rest)."""
+    subsampling for 1 of 4 pixels, neighbor chroma for the rest).
+
+    convention: 'studio' (BT.601 studio swing — what ``rgb_to_yuv420``
+    / cv2 produce) or 'jpeg' (full-range JFIF YCbCr — what JPEG files
+    store and the native decoder's yuv420 path emits verbatim).
+    """
+    assert convention in ('studio', 'jpeg'), convention
     he, we, n = yuv420_shape(h, w)
     lead = buf.shape[:-1]
     assert buf.shape[-1] == n, (buf.shape, n)
@@ -111,12 +118,40 @@ def yuv420_to_rgb(buf: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         c = jnp.repeat(c, 2, axis=-1)
         return jnp.repeat(c, 2, axis=-2)
 
-    yp = (y - 16.0) * (1.0 / _Y_SCALE)
-    cb = (up2(u) - 128.0) * (1.0 / _C_SCALE)
-    cr = (up2(v) - 128.0) * (1.0 / _C_SCALE)
+    if convention == 'studio':
+        yp = (y - 16.0) * (1.0 / _Y_SCALE)
+        cb = (up2(u) - 128.0) * (1.0 / _C_SCALE)
+        cr = (up2(v) - 128.0) * (1.0 / _C_SCALE)
+    else:
+        yp = y
+        cb = up2(u) - 128.0
+        cr = up2(v) - 128.0
     r = yp + 1.402 * cr
     g = yp - 0.344136 * cb - 0.714136 * cr
     b = yp + 1.772 * cb
     rgb = jnp.stack([r, g, b], axis=-1)
     rgb = jnp.clip(rgb, 0.0, 255.0)
     return rgb[..., :h, :w, :]
+
+
+class Yuv420Frames(np.ndarray):
+    """(T, He*We*3/2) packed I420 frames with source geometry attached.
+
+    ndarray subclass so pre-packed frames flow through dataset pipelines
+    and ``Collect`` untouched; ``VanillaTracker.preload`` recognizes it
+    and ships the planes as-is (no host repack). Produced by
+    ``RawFrameDecodeYUV420`` (native libjpeg decode straight to planes,
+    full-range 'jpeg' convention) or by any caller via
+    ``Yuv420Frames(rgb_to_yuv420(imgs), hw, 'studio')``.
+    """
+
+    def __new__(cls, buf, hw, convention='studio'):
+        obj = np.asarray(buf, dtype=np.uint8).view(cls)
+        obj.hw = tuple(int(x) for x in hw)
+        obj.convention = convention
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is not None:
+            self.hw = getattr(obj, 'hw', None)
+            self.convention = getattr(obj, 'convention', 'studio')
