@@ -250,9 +250,23 @@ def test_pred_nibble_packing_lossless(mini_davis):
             sample['imgs'][0], sample['ref_seg_map'],
             [sample['img_meta']])[0]
     np.testing.assert_array_equal(outs[True], outs[False])
-    # odd-width original shapes survive the pad/crop roundtrip
+    # odd-width original shapes survive the pad/crop roundtrip, at every
+    # adaptive bit width (1/2/4 bits per label — chosen per video from
+    # the class count)
     from vfs_tpu.models.trackers.vanilla_tracker import VanillaTracker
     import jax.numpy as jnp
+    for bits in (1, 2, 4):
+        per = 8 // bits
+        pred = (np.arange(33, dtype=np.uint8).reshape(3, 11)
+                % (1 << bits))
+        padded = np.pad(pred, ((0, 0), (0, -(-11 // per) * per - 11)))
+        packed = padded[:, 0::per].copy()
+        for i in range(1, per):
+            packed |= padded[:, i::per] << (bits * i)
+        got = VanillaTracker._fetch_preds(
+            jnp.asarray(packed)[None], 1, (3, 11), bits)
+        np.testing.assert_array_equal(got[0], pred)
+    # legacy bool flag still means 4-bit nibbles
     pred = np.arange(15, dtype=np.uint8).reshape(3, 5) % 13
     packed_dev = jnp.asarray(
         np.pad(pred, ((0, 0), (0, 1)))[:, 0::2]

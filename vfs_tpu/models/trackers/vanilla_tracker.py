@@ -146,16 +146,19 @@ class VanillaTracker:
                        static_argnames=('self', 'cfg', 'out_hw', 'pack'))
     def _propagate_decode(self, feats, seg_first, mask, class_valid,
                           cfg: PropagationConfig, out_hw: Tuple[int, int],
-                          pack: bool = False):
+                          pack: int = 0):
         """Run propagation and decode predictions.
 
         Returns (seg_preds uint8 (T, *out_hw), seg_logits (T, h, w, K)).
-        ``pack=True`` (labels < 16 only) nibble-packs each prediction row
-        pair-wise along W — two 4-bit labels per byte — halving the
-        device->host readback, which costs ~24 ms/frame over a tunneled
-        host link (bench.py host_link_GBps). Lossless; unpacked in
-        ``_fetch_preds``."""
+        ``pack`` = bits per label (0 = unpacked, else 1/2/4): predictions
+        are bit-packed along W — ``8 // pack`` labels per byte — cutting
+        the device->host readback 8x/4x/2x. The bit width is chosen per
+        video from the class count (a 2-object DAVIS video ships 2-bit
+        labels), which matters because readback costs ~12 ms/frame at
+        4 bits over a tunneled host link (bench.py host_link_GBps).
+        Lossless; unpacked in ``_fetch_preds``."""
         seg_logits = propagate_video(feats, seg_first, mask, cfg)
+        pack = 4 if pack is True else int(pack)  # legacy bool callers
 
         def decode(logit):
             up = resize_bilinear(logit[None], out_hw)[0]
@@ -163,10 +166,15 @@ class VanillaTracker:
             up = jnp.where(class_valid, up, -1.0)  # padded classes lose
             pred = jnp.argmax(up, axis=-1).astype(jnp.uint8)
             if pack:
+                per = 8 // pack
                 w = pred.shape[-1]
-                if w % 2:
-                    pred = jnp.pad(pred, ((0, 0), (0, 1)))
-                return pred[:, 0::2] | (pred[:, 1::2] << 4)
+                wp = -(-w // per) * per
+                if wp > w:
+                    pred = jnp.pad(pred, ((0, 0), (0, wp - w)))
+                out = pred[:, 0::per]
+                for i in range(1, per):
+                    out = out | (pred[:, i::per] << (pack * i))
+                return out
             return pred
 
         seg_preds = jax.lax.map(decode, seg_logits)
@@ -174,15 +182,19 @@ class VanillaTracker:
 
     @staticmethod
     def _fetch_preds(seg_preds, t_real: int, out_hw: Tuple[int, int],
-                     packed: bool) -> np.ndarray:
-        """Device->host fetch (+ nibble unpack when packed)."""
+                     packed: int) -> np.ndarray:
+        """Device->host fetch (+ bit unpack when packed; ``packed`` =
+        bits per label as passed to ``_propagate_decode``)."""
         arr = np.array(seg_preds[:t_real])  # writable host copy
-        if packed:
+        bits = 4 if packed is True else int(packed)
+        if bits:
+            per = 8 // bits
+            lo = (1 << bits) - 1
             w = out_hw[1]
-            out = np.empty((arr.shape[0], arr.shape[1], 2 * arr.shape[2]),
+            out = np.empty((arr.shape[0], arr.shape[1], per * arr.shape[2]),
                            np.uint8)
-            out[..., 0::2] = arr & 0x0F
-            out[..., 1::2] = arr >> 4
+            for i in range(per):
+                out[..., i::per] = (arr >> (bits * i)) & lo
             arr = out[..., :w]
         return arr
 
@@ -353,8 +365,14 @@ class VanillaTracker:
                 pallas_group_frames=test_cfg.get('pallas_group_frames'),
                 pallas_extract=test_cfg.get('pallas_extract', 'mask'))
 
-            pack = (not input_onehot) and k_pad <= 16 \
-                and bool(test_cfg.get('pack_preds', True))
+            # adaptive bit width: smallest of 1/2/4 bits that covers the
+            # video's label range (argmax is < num_classes — padded
+            # classes are masked to -1 above)
+            pack = 0
+            if (not input_onehot) and num_classes <= 16 \
+                    and bool(test_cfg.get('pack_preds', True)):
+                pack = next(b for b in (1, 2, 4)
+                            if num_classes <= (1 << b))
             seg_preds, seg_logits = self._propagate_decode(
                 feats=feat, seg_first=jnp.asarray(seg_first),
                 mask=mask, class_valid=jnp.asarray(class_valid),
