@@ -1,0 +1,88 @@
+"""Whole-video decoupled kernel (pallas_affinity_video) parity, interpret
+mode on CPU: must match the tiled scan engine (itself parity-tested against
+the dense reference loop) bit-for-bit at argmax level and numerically on
+logits — including ring wraparound (T > precede_frames), the frame-0
+duplication window, tile-remainder edges, and both early-exit settings."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vfs_tpu.ops import spatial_neighbor
+from vfs_tpu.ops.propagation import PropagationConfig, propagate_video
+
+
+def _run(seed, t_total, h, w, c, k, nr, p, tile, topk, early_exit=True,
+         smooth=False, extract='sweep'):
+    rng = np.random.RandomState(seed)
+    if smooth:
+        # temporally coherent features (realistic tau-tightening regime)
+        base = rng.randn(h, w, c)
+        drift = rng.randn(t_total, h, w, c) * 0.1
+        feats = jnp.asarray(base[None] + np.cumsum(drift, 0), jnp.float32)
+    else:
+        feats = jnp.asarray(rng.randn(t_total, h, w, c), jnp.float32)
+    seg_first = jnp.asarray(
+        np.eye(k, dtype=np.float32)[rng.randint(0, k, (h, w))])
+    common = dict(precede_frames=p, topk=topk, temperature=0.07,
+                  neighbor_range=nr, pallas_tile=tile)
+    ref = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='tiled', tile=(4, 4),
+                                            **common))
+    out = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='pallas_video',
+                                            pallas_interpret=True,
+                                            video_early_exit=early_exit,
+                                            video_extract=extract,
+                                            **common))
+    return np.asarray(ref), np.asarray(out)
+
+
+@pytest.mark.parametrize('t_total,h,w,nr,p,tile,topk', [
+    (9, 6, 7, 6, 4, (4, 4), 5),      # tile remainder both dims
+    (12, 8, 8, 6, 4, (4, 4), 3),     # wraparound: T > P + duplication
+    (6, 5, 9, 8, 3, (4, 8), 4),      # wide tile, bigger radius
+])
+def test_pallas_video_matches_tiled(t_total, h, w, nr, p, tile, topk):
+    ref, out = _run(0, t_total, h, w, 8, 3, nr, p, tile, topk)
+    assert (np.argmax(ref, -1) == np.argmax(out, -1)).mean() == 1.0
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('extract,early_exit', [
+    ('sweep', True), ('perframe', True), ('perframe', False)])
+def test_pallas_video_extract_modes_exact(extract, early_exit):
+    """Both extraction structures — and the perframe tau early exit —
+    must be invisible in the results, also on temporally-smooth features
+    where the exit actually triggers."""
+    ref, out = _run(3, 10, 8, 9, 8, 4, 6, 4, (4, 4), 5,
+                    early_exit=early_exit, smooth=True, extract=extract)
+    assert (np.argmax(ref, -1) == np.argmax(out, -1)).mean() == 1.0
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_video_t2_edge():
+    ref, out = _run(5, 2, 5, 6, 8, 2, 6, 4, (4, 4), 3)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_video_bf16_matmul_close():
+    """bf16 feature path: selection may flip on rounding, logits stay
+    close; shares the v1 kernel's contract (matmul_precision docs)."""
+    rng = np.random.RandomState(7)
+    t_total, h, w, c, k = 8, 6, 7, 16, 3
+    feats = jnp.asarray(rng.randn(t_total, h, w, c), jnp.float32)
+    seg_first = jnp.asarray(
+        np.eye(k, dtype=np.float32)[rng.randint(0, k, (h, w))])
+    common = dict(precede_frames=4, topk=4, temperature=0.07,
+                  neighbor_range=6, pallas_tile=(4, 4))
+    ref = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='tiled', **common))
+    out = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='pallas_video',
+                                            pallas_interpret=True,
+                                            pallas_precision='bfloat16',
+                                            **common))
+    agree = (np.argmax(np.asarray(ref), -1)
+             == np.argmax(np.asarray(out), -1)).mean()
+    assert agree > 0.97

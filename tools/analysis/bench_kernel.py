@@ -98,6 +98,21 @@ def main():
             'pallas_bf16mm_packed': PropagationConfig(
                 **base, backend='pallas', pallas_tile=tile,
                 pallas_precision='bfloat16', pallas_extract='packed'),
+            'video_fp32': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=tile),
+            'video_bf16mm': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=tile,
+                pallas_precision='bfloat16'),
+            'video_bf16mm_16x8': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=(16, 8),
+                pallas_precision='bfloat16'),
+            'video_bf16mm_perframe': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=tile,
+                pallas_precision='bfloat16', video_extract='perframe'),
+            'video_bf16mm_pf_noexit': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=tile,
+                pallas_precision='bfloat16', video_extract='perframe',
+                video_early_exit=False),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

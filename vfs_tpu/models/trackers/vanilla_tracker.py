@@ -337,15 +337,29 @@ class VanillaTracker:
             if neighbor_range is not None and not use_local:
                 mask = spatial_neighbor(h, w, neighbor_range, mode='circle')
 
-            default_backend = ('pallas'
-                               if jax.default_backend() == 'tpu'
-                               else 'tiled')
-            # wide circle masks (r50's neighbor_range=36) amortize the
-            # halo better with a wider tile: measured 41.3 vs 45.8
-            # ms/frame at radius 18; identical (bit-exact) at radius 12
-            pallas_tile = (8, 16) if (use_local
-                                      and neighbor_range // 2 >= 16) \
-                else (8, 8)
+            # 'pallas_video' (round 4): whole-video kernel with the key
+            # ring resident in VMEM + decoupled value gather — measured
+            # 3.49 ms/frame vs 6.88 for the per-step scan kernel at r18
+            # DAVIS-480p shapes (bench_kernel, v5e), argmax-exact vs the
+            # fp32 tiers. r50's radius-18 C=1024 ring (22 x 4.1 MB
+            # blocks) exceeds v5e VMEM — that protocol stays on the
+            # per-step scan kernel until the bank-split variant lands.
+            video_fits = (use_local and neighbor_range // 2 < 16)
+            default_backend = ('pallas_video' if video_fits else 'pallas') \
+                if jax.default_backend() == 'tpu' else 'tiled'
+            backend = test_cfg.get('backend', default_backend)
+            # scan-kernel tiling: wide circle masks (r50's
+            # neighbor_range=36) amortize the halo better with a wider
+            # tile (41.3 vs 45.8 ms/frame at radius 18; bit-exact at
+            # radius 12). The video kernel measured fastest at (8, 8)
+            # (3.49 vs 4.11 for (16, 8)) and its VMEM-resident ring only
+            # fits r50's radius-18 blocks at (8, 8).
+            if backend == 'pallas_video':
+                pallas_tile = (8, 8)
+            else:
+                pallas_tile = (8, 16) if (use_local
+                                          and neighbor_range // 2 >= 16) \
+                    else (8, 8)
             cfg = PropagationConfig(
                 precede_frames=int(test_cfg.get('precede_frames', 20)),
                 topk=int(test_cfg.get('topk', 10)),
@@ -355,7 +369,7 @@ class VanillaTracker:
                 with_norm=with_norm,
                 neighbor_range=int(neighbor_range)
                 if use_local else None,
-                backend=test_cfg.get('backend', default_backend),
+                backend=backend,
                 pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)),
                 pallas_scores=test_cfg.get('pallas_scores', 'float32'),
                 pallas_fetch=test_cfg.get('pallas_fetch', 'perframe'),
@@ -363,7 +377,10 @@ class VanillaTracker:
                                               'float32'),
                 pallas_matmul=test_cfg.get('pallas_matmul', 'perframe'),
                 pallas_group_frames=test_cfg.get('pallas_group_frames'),
-                pallas_extract=test_cfg.get('pallas_extract', 'mask'))
+                pallas_extract=test_cfg.get('pallas_extract', 'mask'),
+                video_extract=test_cfg.get('video_extract', 'sweep'),
+                video_early_exit=bool(
+                    test_cfg.get('video_early_exit', True)))
 
             # adaptive bit width: smallest of 1/2/4 bits that covers the
             # video's label range (argmax is < num_classes — padded

@@ -1,0 +1,433 @@
+"""Whole-video fused affinity kernel: the round-4 propagation redesign.
+
+The scan-based kernels (pallas_attention.py v1/v2) hit two measured walls
+on TPU v5e (PROGRESS r2-r3, BENCH_r03):
+
+  1. **Key-block DMA refetch** — every scan step re-fetches the dilated
+     key block of all 21 bank frames per query tile (~2.9 GB/frame at r18
+     shapes ≈ 3.5 ms/frame of HBM traffic);
+  2. **Top-k extraction sweeps** — k dependent full-buffer reduction
+     passes per query frame (~0.37 ms/pass, VPU-bound).
+
+Both fall to the same observation (VERDICT r3 #1): the top-k *selection*
+depends only on features, never on the propagated labels, so the frame
+loop needs no sequential dependency at all. This kernel therefore runs
+per spatial tile over the WHOLE video:
+
+  - a ring of ``precede_frames + 2`` dilated key blocks stays **resident
+    in VMEM**; each frame's block is fetched from HBM exactly once per
+    tile (the 21x refetch disappears — frame t's block arrives while
+    frame t-1 is being processed and serves queries t+1..t+P as keys and
+    frame t as queries, its center rows/cols);
+  - per query frame t the bank is processed per-frame (matmul -> passes
+    -> lexicographic candidate merge) with a **tau early exit**: once a
+    frame's remaining row-max falls below every query's current 10th-best
+    score, the rest of its passes provably cannot contribute a candidate
+    and are skipped (exact: a skipped pass's best value is <= the current
+    pass max, which is already < tau rowwise; ties continue on >=, and
+    the merge resolves (value desc, flat-index asc) like torch.topk).
+    Bank frames are visited most-recent-first so tau tightens fast;
+  - it returns ``(top_scores, top_flat_idx)`` per (tile, frame, query).
+    The value gather — the only truly sequential part, ``seg[idx]`` at
+    ~10 topk x K MACs per query — runs as a trivial ``lax.scan`` in the
+    XLA epilogue (see propagation._propagate_video_decoupled).
+
+Candidate order parity: bank position 0 = the prepended first frame,
+positions 1..P = ring slot semantics of the scan engine (slot j holds the
+latest frame f < t with f % P == j-1), so flat-index tie-breaks match the
+tiled/v1 tiers bit-for-bit, including the reference's frame-0 duplication
+while t <= P (reference: mmaction/models/trackers/vanilla_tracker.py:
+132-160 + local_attention.py:314-334).
+
+Geometry: key blocks are fetched at the tile origin in a layout padded by
+exactly ``r`` (left/top), so W offsets stay 8-aligned without the v1
+layout's round_up(r, 8) overfetch; block height is rounded up so each
+block is a whole number of 128-lane groups (kb % 128 == 0 — no pad-lane
+bookkeeping anywhere; the circle mask kills the extra rows).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+BIG_IDX = 2**30
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def video_kernel_geometry(h: int, w: int, radius: float,
+                          tile: Tuple[int, int]):
+    """Static geometry shared by the kernel, the padding helper and the
+    index decode. Returns a dict of ints."""
+    th, tw = tile
+    r = int(math.ceil(radius - 1))  # max integer offset with dist < radius
+    nth = -(-h // th)
+    ntw = -(-w // tw)
+    tws = _round_up(tw + 2 * r, 8)          # fetched block width
+    kbh = th + 2 * r                        # fetched block height (exact)
+    kb = kbh * tws
+    kb_cap = _round_up(kb, 128)             # segment stride in the sweep
+    return dict(th=th, tw=tw, r=r, nth=nth, ntw=ntw, tws=tws, kbh=kbh,
+                kb=kb, kb_cap=kb_cap)
+
+
+def pad_for_video_kernel(x: jnp.ndarray, h: int, w: int, radius: float,
+                         tile: Tuple[int, int]) -> jnp.ndarray:
+    """Pad ``(T, h, w, C)`` to the kernel fetch layout: ``r`` rows/cols of
+    zeros at top/left; bottom/right sized so the last tile's
+    (kbh, tws) block fetch stays in bounds."""
+    g = video_kernel_geometry(h, w, radius, tile)
+    bottom = (g['nth'] - 1) * g['th'] + g['kbh'] - g['r'] - h
+    right = (g['ntw'] - 1) * g['tw'] + g['tws'] - g['r'] - w
+    return jnp.pad(x, ((0, 0), (g['r'], bottom), (g['r'], right), (0, 0)))
+
+
+def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
+                       feat_dtype, early_exit, extract):
+    th, tw, r = g['th'], g['tw'], g['r']
+    tws, kbh, kb, kb_cap = g['tws'], g['kbh'], g['kb'], g['kb_cap']
+    q_n = th * tw
+    ring_n = p_frames + 2
+    total_k = (p_frames + 1) * kb_cap
+    inv_tau = 1.0 / temperature
+    exact = feat_dtype != jnp.bfloat16
+
+    def kernel(feats_ref, mask_ref, out_s_ref, out_i_ref,
+               ring, first_buf, mask_buf, sbuf, cand_s, cand_i, fcand_s,
+               fcand_i, flag_ref, sem_ring, sem_first, sem_m):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        oy = ti * th
+        ox = tj * tw
+
+        def fetch(f, buf, sem):
+            return pltpu.make_async_copy(
+                feats_ref.at[f, pl.ds(oy, kbh), pl.ds(ox, tws), :],
+                buf, sem)
+
+        def ring_fetch(f):
+            slot = lax.rem(f, ring_n)
+            return fetch(f, ring.at[slot], sem_ring.at[slot])
+
+        # prologue: first frame (persistent) + frames 0 and 1 into the ring
+        cp_m = pltpu.make_async_copy(mask_ref.at[ti, tj], mask_buf, sem_m)
+        cp_m.start()
+        fetch(0, first_buf, sem_first).start()
+        ring_fetch(0).start()
+        if t_total >= 2:
+            ring_fetch(1).start()
+        fetch(0, first_buf, sem_first).wait()
+        ring_fetch(0).wait()
+        cp_m.wait()
+        col = lax.broadcasted_iota(jnp.int32, (q_n, kb), 1)
+
+        def matmul(q, block):
+            keys = block.reshape(kb, c)
+            s = lax.dot_general(
+                q, keys, (((1,), (1,)), ((), ())),
+                precision=(lax.Precision.HIGHEST if exact
+                           else lax.Precision.DEFAULT),
+                preferred_element_type=jnp.float32) * inv_tau
+            return s + (mask_buf[:] if kb == kb_cap
+                        else mask_buf[:, :kb])
+
+        def extract_passes(scores, base):
+            """Frame-local top-k with tau early exit. ``scores`` is a
+            value (registers); masked-out state round-trips through
+            ``sbuf`` only when a next pass actually runs."""
+            tau = cand_s[:, topk - 1:topk]               # (q_n, 1)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            first = jnp.min(jnp.where(scores >= m, col, kb), axis=1,
+                            keepdims=True)
+            fcand_s[:, 0:1] = m
+            fcand_i[:, 0:1] = first + base
+            if topk == 1:
+                return
+            cont = jnp.any(m >= tau)
+            if early_exit:
+                flag_ref[0, 0] = cont.astype(jnp.int32)
+
+                @pl.when(cont)
+                def _():
+                    sbuf[:] = jnp.where(col == first, NEG_INF, scores)
+            else:
+                sbuf[:] = jnp.where(col == first, NEG_INF, scores)
+
+            for p in range(1, topk):
+                def body(p=p):
+                    s = sbuf[:]
+                    m = jnp.max(s, axis=1, keepdims=True)
+                    first = jnp.min(jnp.where(s >= m, col, kb), axis=1,
+                                    keepdims=True)
+                    fcand_s[:, p:p + 1] = m
+                    fcand_i[:, p:p + 1] = first + base
+                    if p + 1 == topk:
+                        return
+                    if early_exit:
+                        nxt = jnp.any(m >= tau)
+                        flag_ref[0, 0] = nxt.astype(jnp.int32)
+
+                        @pl.when(nxt)
+                        def _():
+                            sbuf[:] = jnp.where(col == first, NEG_INF, s)
+                    else:
+                        sbuf[:] = jnp.where(col == first, NEG_INF, s)
+
+                if early_exit:
+                    @pl.when(flag_ref[0, 0] == 1)
+                    def _(body=body):
+                        body()
+                else:
+                    body()
+
+        def merge():
+            """Fold the frame candidates into the running top-k:
+            lexicographic (value desc, flat idx asc) — torch.topk ties."""
+            cs = jnp.concatenate([cand_s[:], fcand_s[:]], axis=1)
+            ci = jnp.concatenate([cand_i[:], fcand_i[:]], axis=1)
+            ns, ni = [], []
+            for p in range(topk):
+                m = jnp.max(cs, axis=1, keepdims=True)
+                eq = cs >= m
+                gidx = jnp.min(jnp.where(eq, ci, BIG_IDX), axis=1,
+                               keepdims=True)
+                ns.append(m)
+                ni.append(gidx)
+                if p + 1 < topk:
+                    cs = jnp.where(eq & (ci == gidx), NEG_INF, cs)
+            cand_s[:] = jnp.concatenate(ns, axis=1)
+            cand_i[:] = jnp.concatenate(ni, axis=1)
+
+        def process_frame(q, block, j_bank):
+            scores = matmul(q, block)
+            # NEG_INF-init the frame buffers so skipped passes stay inert
+            fcand_s[:] = jnp.full((q_n, topk), NEG_INF, jnp.float32)
+            fcand_i[:] = jnp.full((q_n, topk), BIG_IDX, jnp.int32)
+            extract_passes(scores, j_bank * kb_cap)
+            if early_exit:
+                tau = cand_s[:, topk - 1:topk]
+
+                @pl.when(jnp.any(fcand_s[:, 0:1] >= tau))
+                def _():
+                    merge()
+            else:
+                merge()
+
+        def frames_of(t, body):
+            """Visit the bank of frame t: most-recent-first (f = t-1, the
+            prepended first frame, then t-2..t-P — fast tau tightening in
+            'perframe' mode; order-independent results either way).
+            ``body(q_block, j_bank, conditional)``."""
+            for o in range(p_frames + 1):
+                if o == 1:
+                    body(first_buf[:], 0, None)
+                    continue
+                f = t - 1 if o == 0 else t - o
+                j_bank = 1 + lax.rem(f, p_frames)
+                if o < 2:
+                    body(ring[lax.rem(f, ring_n)][:], j_bank, None)
+                else:
+                    @pl.when(f >= 0)
+                    def _(f=f, j_bank=j_bank):
+                        body(ring[lax.rem(f, ring_n)][:], j_bank, None)
+
+        def step_perframe(t, _):
+            slot_t = lax.rem(t, ring_n)
+            ring_fetch(t).wait()  # frame t arrived (queries for step t)
+
+            @pl.when(t + 1 < t_total)
+            def _():
+                ring_fetch(t + 1).start()
+
+            q = ring[slot_t][r:r + th, r:r + tw, :].reshape(q_n, c)
+            cand_s[:] = jnp.full((q_n, topk), NEG_INF, jnp.float32)
+            cand_i[:] = jnp.full((q_n, topk), BIG_IDX, jnp.int32)
+            frames_of(t, lambda block, j_bank, _:
+                      process_frame(q, block, j_bank))
+            out_s_ref[0, 0, t] = cand_s[:]
+            out_i_ref[0, 0, t] = cand_i[:]
+            return 0
+
+        def step_sweep(t, _):
+            """v1-style extraction on the resident ring: per-frame score
+            segments stored independently (they pipeline — no serial
+            merge chain), then k full-width passes. Measured on v5e: the
+            'perframe' merge chain is latency-bound (420 dependent
+            small-vector op groups/tile/frame), this is not."""
+            slot_t = lax.rem(t, ring_n)
+            ring_fetch(t).wait()
+
+            @pl.when(t + 1 < t_total)
+            def _():
+                ring_fetch(t + 1).start()
+
+            q = ring[slot_t][r:r + th, r:r + tw, :].reshape(q_n, c)
+
+            # frames < 0 leave their segment unwritten while t <= P:
+            # NEG_INF-fill once (their bank slots are exactly the ones
+            # no valid frame claims yet)
+            @pl.when(t <= p_frames)
+            def _():
+                sbuf[:] = jnp.full((q_n, total_k), NEG_INF, jnp.float32)
+
+            def score_frame(block, j_bank, _):
+                s = matmul(q, block)
+                if kb_cap > kb:
+                    s = jnp.concatenate(
+                        [s, jnp.full((q_n, kb_cap - kb), NEG_INF,
+                                     jnp.float32)], axis=1)
+                off = pl.multiple_of(j_bank * kb_cap, 128)
+                sbuf[:, pl.ds(off, kb_cap)] = s
+
+            frames_of(t, score_frame)
+
+            col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
+            top_s, top_i = [], []
+            for p in range(topk):
+                s = sbuf[:]
+                m = jnp.max(s, axis=1, keepdims=True)
+                first = jnp.min(jnp.where(s >= m, col, total_k), axis=1,
+                                keepdims=True)
+                top_s.append(m)
+                top_i.append(first)
+                if p + 1 < topk:
+                    sbuf[:] = jnp.where(col == first, NEG_INF, s)
+            out_s_ref[0, 0, t] = jnp.concatenate(top_s, axis=1)
+            out_i_ref[0, 0, t] = jnp.concatenate(top_i, axis=1)
+            return 0
+
+        lax.fori_loop(1, t_total,
+                      step_sweep if extract == 'sweep' else step_perframe,
+                      0)
+
+    return kernel, q_n, ring_n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('radius', 'temperature', 'topk', 'precede_frames',
+                     'h', 'w', 'tile', 'interpret', 'early_exit',
+                     'extract'))
+def video_topk_affinity(feats_pad: jnp.ndarray,
+                        radius: float,
+                        temperature: float,
+                        topk: int,
+                        precede_frames: int,
+                        h: int,
+                        w: int,
+                        tile: Tuple[int, int] = (8, 8),
+                        interpret: bool = False,
+                        early_exit: bool = True,
+                        extract: str = 'sweep'):
+    """Merged masked top-k affinity of every frame against its bank.
+
+    Args:
+        feats_pad: (T, Hp, Wp, C) pre-normalized features in the
+            ``pad_for_video_kernel`` layout (fp32 exact, or bf16 for the
+            single-pass MXU path).
+    Returns:
+        top_s (nth, ntw, T, q_n, topk) float32 — merged top-k scores
+            (frame 0 row is unwritten garbage; callers start at t=1);
+        top_i (nth, ntw, T, q_n, topk) int32 — flat candidate index
+            ``bank_pos * kb_cap + block_row * tws + block_col`` (decode
+            with ``video_kernel_geometry``).
+    """
+    if extract not in ('sweep', 'perframe'):
+        raise ValueError(f"extract must be 'sweep' or 'perframe', "
+                         f"got {extract!r}")
+    t_total = feats_pad.shape[0]
+    c = feats_pad.shape[-1]
+    g = video_kernel_geometry(h, w, radius, tile)
+    feat_dtype = feats_pad.dtype
+    kernel, q_n, ring_n = _make_video_kernel(
+        g, c, t_total, int(precede_frames), topk, float(temperature),
+        feat_dtype, early_exit, extract)
+    nth, ntw, kbh, tws, kb, r, th, tw = (
+        g['nth'], g['ntw'], g['kbh'], g['tws'], g['kb'], g['r'], g['th'],
+        g['tw'])
+
+    # per-tile additive mask: circle + key-in-bounds + query-in-bounds
+    qi, qj = jnp.divmod(jnp.arange(q_n), tw)
+    ka, kb2 = jnp.divmod(jnp.arange(kb), tws)
+    dy = (ka[None, :] - r) - qi[:, None]
+    dx = (kb2[None, :] - r) - qj[:, None]
+    circle = (dy.astype(jnp.float32)**2 +
+              dx.astype(jnp.float32)**2) < radius * radius
+    oy = (jnp.arange(nth) * th)[:, None, None, None]
+    ox = (jnp.arange(ntw) * tw)[None, :, None, None]
+    aky = ka[None, None, None, :] + oy - r
+    akx = kb2[None, None, None, :] + ox - r
+    inb = (aky >= 0) & (aky < h) & (akx >= 0) & (akx < w)
+    qin = ((qi[None, None, :, None] + oy) < h) & \
+        ((qj[None, None, :, None] + ox) < w)
+    mask4 = jnp.where(circle[None, None] & inb & qin, 0.0,
+                      NEG_INF).astype(jnp.float32)
+    if g['kb_cap'] > kb:
+        # HBM DMA slices must be 128-aligned on the lane dim — pad the
+        # per-tile mask to the segment stride (extra lanes NEG_INF)
+        mask4 = jnp.pad(mask4, ((0, 0), (0, 0), (0, 0),
+                                (0, g['kb_cap'] - kb)),
+                        constant_values=NEG_INF)
+
+    grid_spec = pl.GridSpec(
+        grid=(nth, ntw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # feats (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # per-tile mask (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, t_total, q_n, topk),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_total, q_n, topk),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ring_n, kbh, tws, c), feat_dtype),   # ring
+            pltpu.VMEM((kbh, tws, c), feat_dtype),           # first_buf
+            pltpu.VMEM((q_n, g['kb_cap']), jnp.float32),     # mask
+            pltpu.VMEM((q_n, (precede_frames + 1) * g['kb_cap']
+                        if extract == 'sweep' else kb),
+                       jnp.float32),                         # sbuf
+            pltpu.VMEM((q_n, topk), jnp.float32),            # cand_s
+            pltpu.VMEM((q_n, topk), jnp.int32),              # cand_i
+            pltpu.VMEM((q_n, topk), jnp.float32),            # fcand_s
+            pltpu.VMEM((q_n, topk), jnp.int32),              # fcand_i
+            pltpu.SMEM((1, 1), jnp.int32),                   # flag
+            pltpu.SemaphoreType.DMA((ring_n,)),              # sem_ring
+            pltpu.SemaphoreType.DMA(()),                     # sem_first
+            pltpu.SemaphoreType.DMA(()),                     # sem_m
+        ],
+    )
+    ring_bytes = (ring_n + 1) * kbh * tws * c * feat_dtype.itemsize
+    out_bytes = 2 * 2 * t_total * q_n * _round_up(topk, 128) * 4
+    sbuf_bytes = q_n * ((precede_frames + 1) * g['kb_cap']
+                        if extract == 'sweep' else kb) * 4
+    vmem_limit = min(ring_bytes + out_bytes + 2 * sbuf_bytes +
+                     q_n * kb * 4 + 12 * 1024 * 1024, 122 * 1024 * 1024)
+    top_s, top_i = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((nth, ntw, t_total, q_n, topk),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nth, ntw, t_total, q_n, topk),
+                                 jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+    )(feats_pad, mask4)
+    return top_s, top_i

@@ -50,8 +50,11 @@ class PropagationConfig(NamedTuple):
     # instead of the dense masked path (identical results; ~10x faster).
     neighbor_range: Optional[int] = None
     tile: tuple = (12, 16)  # best measured for 60x107 stride-8 DAVIS 480p
-    # 'tiled' = XLA locality path; 'pallas' = fused kernel (requires
-    # neighbor_range + with_first_neighbor); 'dense' = reference chunked
+    # 'tiled' = XLA locality path; 'pallas' = fused per-frame kernel
+    # (requires neighbor_range + with_first_neighbor); 'pallas_video' =
+    # whole-video decoupled kernel (VMEM-resident key ring + tau-early-exit
+    # top-k, value gather in a trivial scan — the round-4 redesign);
+    # 'dense' = reference chunked
     backend: str = 'tiled'
     pallas_tile: tuple = (8, 8)
     # 'bfloat16' halves the bytes the kernel's top-k passes sweep
@@ -82,6 +85,15 @@ class PropagationConfig(NamedTuple):
     pallas_extract: str = 'mask'
     # run the kernel in pallas interpret mode (CPU testing only)
     pallas_interpret: bool = False
+    # pallas_video: skip top-k passes once a frame's remaining row-max
+    # falls below every query's current 10th-best (exact; only applies to
+    # video_extract='perframe'; False = A/B)
+    video_early_exit: bool = True
+    # pallas_video extraction: 'sweep' (per-frame score segments stored
+    # independently, then k full-width passes — pipelines best) or
+    # 'perframe' (immediate per-frame top-k + tau-early-exit merge —
+    # latency-bound on v5e, kept as the exact A/B)
+    video_extract: str = 'sweep'
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -202,6 +214,8 @@ def propagate_video(feats: jnp.ndarray,
                  and cfg.with_norm)
     if use_local and cfg.backend == 'pallas' and cfg.with_first:
         return _propagate_video_pallas(feats, seg_first, cfg)
+    if use_local and cfg.backend == 'pallas_video' and cfg.with_first:
+        return _propagate_video_decoupled(feats, seg_first, cfg)
     if use_local:
         # normalize the whole bank once; the tiled kernel assumes
         # pre-normalized features
@@ -316,3 +330,91 @@ def _propagate_video_pallas(feats: jnp.ndarray, seg_first: jnp.ndarray,
     _, seg_logits = jax.lax.scan(step, (bank_feats0, bank_vals0),
                                  jnp.arange(1, t_total))
     return jnp.concatenate([seg_first[None], seg_logits], axis=0)
+
+
+def _propagate_video_decoupled(feats: jnp.ndarray, seg_first: jnp.ndarray,
+                               cfg: PropagationConfig) -> jnp.ndarray:
+    """Decoupled propagation (VERDICT r3 #1): phase 1 computes the merged
+    top-k affinity (scores + source indices) for EVERY frame in one
+    whole-video Pallas kernel — selection depends only on features, so it
+    needs no sequential dependency; phase 2 is a trivial ``lax.scan``
+    doing the label gather + softmax-weighted sum (the only part that
+    actually depends on previously propagated labels: ~topk*K MACs per
+    query). Results are identical to the scan tiers, including the
+    reference's frame-0 duplication while t <= precede_frames and
+    torch.topk tie order (reference: vanilla_tracker.py:132-160,
+    local_attention.py:314-334)."""
+    from .pallas_affinity_video import (pad_for_video_kernel,
+                                        video_kernel_geometry,
+                                        video_topk_affinity)
+    t_total, h, w, c = feats.shape
+    k_classes = seg_first.shape[-1]
+    p = cfg.precede_frames
+    radius = cfg.neighbor_range // 2
+    tile = cfg.pallas_tile
+    topk = cfg.topk
+
+    if t_total < 2:
+        return seg_first[None][:t_total]
+
+    feats = l2_normalize(feats, axis=-1)
+    if cfg.pallas_precision == 'bfloat16':
+        feats = feats.astype(jnp.bfloat16)
+    feats_pad = pad_for_video_kernel(feats, h, w, radius, tile)
+    top_s, top_i = video_topk_affinity(
+        feats_pad, radius=float(radius), temperature=cfg.temperature,
+        topk=topk, precede_frames=p, h=h, w=w, tile=tile,
+        interpret=cfg.pallas_interpret, early_exit=cfg.video_early_exit,
+        extract=cfg.video_extract)
+
+    g = video_kernel_geometry(h, w, radius, tile)
+    nth, ntw, th, tw, tws, kb_cap, r = (g['nth'], g['ntw'], g['th'],
+                                        g['tw'], g['tws'], g['kb_cap'],
+                                        g['r'])
+
+    # ---- decode flat indices -> (source frame, y, x) ----
+    # shapes (nth, ntw, T, q_n, topk)
+    j = top_i // kb_cap
+    pos = top_i % kb_cap
+    a = pos // tws
+    b = pos % tws
+    oy = (jnp.arange(nth) * th).reshape(nth, 1, 1, 1, 1)
+    ox = (jnp.arange(ntw) * tw).reshape(1, ntw, 1, 1, 1)
+    ky = jnp.clip(oy + a - r, 0, h - 1)
+    kx = jnp.clip(ox + b - r, 0, w - 1)
+    t_idx = jnp.arange(t_total).reshape(1, 1, t_total, 1, 1)
+    # bank position 0 = prepended first frame; position j>=1 = ring slot
+    # semantics: latest frame f < t with f % P == j-1
+    f_src = jnp.where(
+        j == 0, 0, t_idx - 1 - jnp.mod(t_idx - 1 - (j - 1), p))
+    f_src = jnp.clip(f_src, 0, t_total - 1)
+    weights = jax.nn.softmax(top_s, axis=-1)
+
+    def to_thwk(x):
+        """(nth, ntw, T, q_n, topk) -> (T, h, w, topk)."""
+        q_n = th * tw
+        x = jnp.moveaxis(x, 2, 0)          # (T, nth, ntw, q_n, k)
+        x = x.reshape(t_total, nth, ntw, th, tw, topk)
+        x = jnp.moveaxis(x, 3, 2)          # (T, nth, th, ntw, tw, k)
+        x = x.reshape(t_total, nth * th, ntw * tw, topk)
+        return x[:, :h, :w]
+
+    weights = to_thwk(weights)
+    flat_src = to_thwk(f_src * (h * w) + ky * w + kx)
+
+    # ---- phase 2: sequential value gather (the tiny part) ----
+    seg0 = jnp.zeros((t_total, h * w, k_classes), jnp.float32)
+    seg0 = seg0.at[0].set(seg_first.reshape(h * w, k_classes))
+
+    def step(seg_flat_all, t):
+        idx = jax.lax.dynamic_index_in_dim(flat_src, t, 0, keepdims=False)
+        wgt = jax.lax.dynamic_index_in_dim(weights, t, 0, keepdims=False)
+        vals = seg_flat_all.reshape(t_total * h * w, k_classes)[idx]
+        out = jnp.einsum('hwk,hwkc->hwc', wgt, vals,
+                         preferred_element_type=jnp.float32)
+        seg_flat_all = jax.lax.dynamic_update_index_in_dim(
+            seg_flat_all, out.reshape(h * w, k_classes), t, 0)
+        return seg_flat_all, None
+
+    seg_all, _ = jax.lax.scan(step, seg0, jnp.arange(1, t_total))
+    return seg_all.reshape(t_total, h, w, k_classes)
