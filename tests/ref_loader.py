@@ -149,9 +149,92 @@ def _build_mmcv_stub():
     mmcv_cnn.build_activation_layer = lambda cfg: nn.ReLU(
         inplace=cfg.get('inplace', True)) if cfg else nn.Identity()
 
-    class NonLocal3d(nn.Module):  # never instantiated (non_local off)
-        def __init__(self, *a, **k):
-            raise NotImplementedError('NonLocal3d stub')
+    class NonLocal3d(nn.Module):
+        """Faithful reimplementation of mmcv.cnn.NonLocal3d (the external
+        dependency the reference wires into ResNet3d blocks and TSM's
+        NL3DWrapper): g/theta/phi 1x1x1 convs to in_channels//reduction,
+        pairwise modes gaussian / embedded_gaussian (default, scaled
+        softmax) / dot_product (mean) / concatenation, optional
+        sub_sample max-pool (1,2,2) on keys/values, conv_out with
+        optional norm and mmcv's zeros_init identity start."""
+
+        def __init__(self, in_channels, reduction=2, use_scale=True,
+                     conv_cfg=None, norm_cfg=None,
+                     mode='embedded_gaussian', sub_sample=False, **kwargs):
+            super().__init__()
+            self.in_channels = in_channels
+            self.inter_channels = max(in_channels // reduction, 1)
+            self.use_scale = use_scale
+            self.mode = mode
+            self.sub_sample = sub_sample
+            self.with_norm = norm_cfg is not None
+            i = self.inter_channels
+            self.g = nn.Conv3d(in_channels, i, 1)
+            self.conv_out = nn.Conv3d(i, in_channels, 1,
+                                      bias=not self.with_norm)
+            if self.with_norm:
+                self.norm = nn.BatchNorm3d(in_channels)
+            if mode != 'gaussian':
+                self.theta = nn.Conv3d(in_channels, i, 1)
+                self.phi = nn.Conv3d(in_channels, i, 1)
+            if mode == 'concatenation':
+                self.concat_project = nn.Sequential(
+                    nn.Conv2d(i * 2, 1, 1, bias=False), nn.ReLU())
+            self.pool = nn.MaxPool3d(kernel_size=(1, 2, 2))
+            # mmcv init: normal(0.01) on g/theta/phi, identity start on
+            # the output path (norm weight zero, or conv weight zero)
+            for m in [self.g] + ([self.theta, self.phi]
+                                 if mode != 'gaussian' else []):
+                nn.init.normal_(m.weight, std=0.01)
+                nn.init.zeros_(m.bias)
+            if self.with_norm:
+                nn.init.zeros_(self.norm.weight)
+                nn.init.zeros_(self.norm.bias)
+            else:
+                nn.init.zeros_(self.conv_out.weight)
+                nn.init.zeros_(self.conv_out.bias)
+
+        def forward(self, x):
+            n = x.size(0)
+            g_x = self.g(x)
+            if self.sub_sample:
+                g_x = self.pool(g_x)
+            g_x = g_x.view(n, self.inter_channels, -1).permute(0, 2, 1)
+            if self.mode == 'gaussian':
+                theta_x = x.view(n, self.in_channels, -1).permute(0, 2, 1)
+                phi_x = self.pool(x) if self.sub_sample else x
+                phi_x = phi_x.reshape(n, self.in_channels, -1)
+                pw = torch.matmul(theta_x, phi_x).softmax(dim=-1)
+            elif self.mode == 'concatenation':
+                theta_x = self.theta(x).view(n, self.inter_channels, -1, 1)
+                phi_x = self.phi(x)
+                if self.sub_sample:
+                    phi_x = self.pool(phi_x)
+                phi_x = phi_x.reshape(n, self.inter_channels, 1, -1)
+                h_, w_ = theta_x.size(2), phi_x.size(3)
+                cat = torch.cat([theta_x.repeat(1, 1, 1, w_),
+                                 phi_x.repeat(1, 1, h_, 1)], dim=1)
+                pw = self.concat_project(cat).view(n, h_, w_) / w_
+            else:
+                theta_x = self.theta(x).view(
+                    n, self.inter_channels, -1).permute(0, 2, 1)
+                phi_x = self.phi(x)
+                if self.sub_sample:
+                    phi_x = self.pool(phi_x)
+                phi_x = phi_x.reshape(n, self.inter_channels, -1)
+                pw = torch.matmul(theta_x, phi_x)
+                if self.mode == 'embedded_gaussian':
+                    if self.use_scale:
+                        pw = pw / theta_x.shape[-1]**0.5
+                    pw = pw.softmax(dim=-1)
+                else:
+                    pw = pw / pw.shape[-1]
+            y = torch.matmul(pw, g_x).permute(0, 2, 1).contiguous().reshape(
+                n, self.inter_channels, *x.size()[2:])
+            out = self.conv_out(y)
+            if self.with_norm:
+                out = self.norm(out)
+            return x + out
 
     mmcv_cnn.NonLocal3d = NonLocal3d
     mmcv_cnn.kaiming_init = kaiming_init

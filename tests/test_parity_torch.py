@@ -992,9 +992,17 @@ def _bridge_convmodule_sd(sd):
         # layerL.B.rest -> layerL_B, rest
         if parts[0].startswith('layer') and parts[1].isdigit():
             parts = [f'{parts[0]}_{parts[1]}'] + parts[2:]
+        # TSM's NL3DWrapper nests the residual block under '.block' and
+        # adds a sibling '.non_local_block'; ours keeps the block at
+        # layerL_B and puts the wrapper module at layerL_B_nl (a wrapped
+        # layer is recognizable by its '.block.' keys in the state dict)
+        if parts[1:2] == ['non_local_block'] and any(
+                k.split('.')[:3] == key.split('.')[:2] + ['block']
+                for k in sd):
+            parts[0] = parts[0] + '_nl'
         # TSM wraps a conv in TemporalShift(.net); the shift has no
         # params of its own — flatten the wrapper
-        parts = [p for p in parts if p != 'net']
+        parts = [p for p in parts if p not in ('net', 'block')]
         v = val.numpy() if hasattr(val, 'numpy') else val
         base, leaf = parts[:-1], parts[-1]
         # generic rule: multi-dim 'weight' = a conv kernel (transpose to
@@ -1065,6 +1073,98 @@ def test_resnet_tsm_activation_parity():
     ours = BACKBONES.get('ResNetTSM')(depth=18, num_segments=4,
                                       is_shift=True, shift_div=8)
     x = _rand(8, 3, 32, 32, seed=51)  # 2 clips x 4 segments
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    if isinstance(want, tuple):
+        want = want[-1]
+    want = want.numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize('nl_cfg', [
+    dict(),                                           # mmcv defaults
+    dict(sub_sample=True, use_scale=False,
+         norm_cfg=dict(type='BN3d', requires_grad=True),
+         mode='embedded_gaussian'),                   # mmaction2 TSM-NL cfg
+    dict(mode='dot_product'),
+    dict(mode='gaussian', sub_sample=True),
+])
+def test_resnet3d_non_local_parity(nl_cfg):
+    """ResNet3d with per-stage non_local blocks vs the reference wiring
+    executed verbatim (ref resnet3d.py:54-149 plumbs NonLocal3d into
+    Basic/Bottleneck3d after the residual relu). The NonLocal3d itself is
+    the mmcv external — reimplemented faithfully in the torch shim
+    (ref_loader) and differentially matched by our flax module."""
+    from ref_loader import load_reference_resnet3d
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    R = load_reference_resnet3d().ResNet3d
+    torch.manual_seed(4)
+    ref = R(depth=18, pretrained=None, non_local=(0, 1, 1, 0),
+            non_local_cfg=nl_cfg)
+    ref.init_weights()
+    # zeros_init makes the block an identity — break that so the test
+    # actually exercises the attention math
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if 'non_local_block' in name and (
+                    'conv_out' in name or 'norm' in name):
+                p.add_(0.05 * torch.randn_like(p))
+    ref.eval()
+    params, stats = _bridge_convmodule_sd(ref.state_dict())
+
+    ours = BACKBONES.get('ResNet3d')(depth=18, non_local=(0, 1, 1, 0),
+                                     non_local_cfg=nl_cfg)
+    x = _rand(2, 3, 8, 32, 32, seed=52)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = ours.apply({'params': params, 'batch_stats': stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    if isinstance(got, tuple):
+        got = got[-1]
+    got = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_resnet_tsm_non_local_parity():
+    """ResNetTSM with NL3DWrapper-wrapped blocks vs the reference
+    executed verbatim (ref resnet_tsm.py:10-37,269-283: the wrapper
+    reshapes (N*seg, C, H, W) -> (N, C, seg, H, W) around NonLocal3d)."""
+    from ref_loader import load_reference_resnet_tsm
+
+    from vfs_tpu.models.registry import BACKBONES
+
+    nl_cfg = dict(sub_sample=True, use_scale=False,
+                  norm_cfg=dict(type='BN3d', requires_grad=True),
+                  mode='embedded_gaussian')
+    # NL3DWrapper reads block.conv3 — the reference supports it for
+    # bottleneck depths only (resnet_tsm.py:269 "This part is for
+    # ResNet50")
+    non_local = ((0, 0, 0), (1, 0, 0, 0), (0, 1, 0, 0, 0, 0), (0, 0, 0))
+    R = load_reference_resnet_tsm().ResNetTSM
+    torch.manual_seed(5)
+    ref = R(depth=50, num_segments=4, is_shift=True, shift_div=8,
+            pretrained=None, non_local=non_local, non_local_cfg=nl_cfg)
+    ref.init_weights()  # reference applies make_non_local here
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if 'non_local_block' in name and (
+                    'conv_out' in name or 'norm' in name):
+                p.add_(0.05 * torch.randn_like(p))
+    ref.eval()
+    params, stats = _bridge_convmodule_sd(ref.state_dict())
+
+    ours = BACKBONES.get('ResNetTSM')(depth=50, num_segments=4,
+                                      is_shift=True, shift_div=8,
+                                      non_local=non_local,
+                                      non_local_cfg=nl_cfg)
+    x = _rand(8, 3, 32, 32, seed=53)
     with torch.no_grad():
         want = ref(torch.from_numpy(x))
     if isinstance(want, tuple):

@@ -58,6 +58,24 @@ class ConvBN3d(nn.Module):
         return x
 
 
+def _apply_non_local(x, features, cfg, train, dtype):
+    """Reference resnet3d.py:123-125,149: NonLocal3d after the block's
+    relu, configured by ``non_local_cfg``."""
+    from ..common.non_local import NonLocal3d
+    cfg = dict(cfg or {})
+    norm_cfg = cfg.pop('norm_cfg', None)
+    cfg.pop('conv_cfg', None)
+    return NonLocal3d(
+        features,
+        reduction=cfg.get('reduction', 2),
+        use_scale=cfg.get('use_scale', True),
+        mode=cfg.get('mode', 'embedded_gaussian'),
+        sub_sample=cfg.get('sub_sample', False),
+        with_norm=norm_cfg is not None,
+        zeros_init=cfg.get('zeros_init', True),
+        dtype=dtype, name='non_local_block')(x, train=train)
+
+
 class BasicBlock3d(nn.Module):
     """Reference resnet3d.py:13-155."""
     planes: int
@@ -67,6 +85,8 @@ class BasicBlock3d(nn.Module):
     inflate: bool = True
     with_downsample: bool = False
     expansion: int = 1
+    non_local: bool = False
+    non_local_cfg: Any = None
     dtype: Any = jnp.float32
     zero_init_last: bool = False
 
@@ -92,7 +112,11 @@ class BasicBlock3d(nn.Module):
                 (self.temporal_stride, self.spatial_stride,
                  self.spatial_stride), (0, 0, 0), act=False,
                 dtype=self.dtype, name='downsample')(x, ura)
-        return nn.relu(out + identity)
+        out = nn.relu(out + identity)
+        if self.non_local:
+            out = _apply_non_local(out, self.planes * self.expansion,
+                                   self.non_local_cfg, not ura, self.dtype)
+        return out
 
 
 class Bottleneck3d(nn.Module):
@@ -105,6 +129,8 @@ class Bottleneck3d(nn.Module):
     inflate_style: str = '3x1x1'
     with_downsample: bool = False
     expansion: int = 4
+    non_local: bool = False
+    non_local_cfg: Any = None
     dtype: Any = jnp.float32
     zero_init_last: bool = False
 
@@ -136,7 +162,11 @@ class Bottleneck3d(nn.Module):
                 (self.temporal_stride, self.spatial_stride,
                  self.spatial_stride), (0, 0, 0), act=False,
                 dtype=self.dtype, name='downsample')(x, ura)
-        return nn.relu(out + identity)
+        out = nn.relu(out + identity)
+        if self.non_local:
+            out = _apply_non_local(out, self.planes * self.expansion,
+                                   self.non_local_cfg, not ura, self.dtype)
+        return out
 
 
 ARCH_SETTINGS_3D = {
@@ -177,6 +207,11 @@ class ResNet3d(nn.Module):
     zero_init_residual: bool = True
     out_indices: Sequence[int] = (3,)
     with_cp: bool = False
+    # per-stage non-local flags (int per stage, or per-block tuple per
+    # stage) + shared cfg (reference resnet3d.py:408-470, make_res_layer
+    # :540-544)
+    non_local: Union[int, Sequence] = (0, 0, 0, 0)
+    non_local_cfg: Any = None
     dtype: Any = jnp.float32
 
     @property
@@ -190,6 +225,7 @@ class ResNet3d(nn.Module):
         block_cls, stage_blocks = ARCH_SETTINGS_3D[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
         inflates = _ntuple(self.inflate, self.num_stages)
+        non_locals = _ntuple(self.non_local, self.num_stages)
 
         # frozen stages run their BN in inference mode (2D ResNet
         # semantics; reference resnet3d.py _freeze_stages)
@@ -210,6 +246,7 @@ class ResNet3d(nn.Module):
         for i, num_blocks in enumerate(stage_blocks):
             planes = self.base_channels * 2**i
             stage_inflate = _ntuple(inflates[i], num_blocks)
+            stage_nl = _ntuple(non_locals[i], num_blocks)
             for j in range(num_blocks):
                 ss = self.spatial_strides[i] if j == 0 else 1
                 ts = self.temporal_strides[i] if j == 0 else 1
@@ -221,6 +258,8 @@ class ResNet3d(nn.Module):
                               dilation=self.dilations[i],
                               inflate=bool(stage_inflate[j]),
                               with_downsample=with_ds,
+                              non_local=bool(stage_nl[j]),
+                              non_local_cfg=self.non_local_cfg,
                               dtype=self.dtype,
                               zero_init_last=self.zero_init_residual,
                               name=f'layer{i + 1}_{j}')

@@ -94,6 +94,11 @@ class ResNetTSM(nn.Module):
     out_indices: Sequence[int] = (3,)
     norm_eval: bool = False
     strides: Sequence[int] = (1, 2, 2, 2)
+    # per-stage per-block non-local flags + cfg (reference NL3DWrapper,
+    # resnet_tsm.py:10-37,269-283: blocks flagged in non_local get a
+    # NonLocal3d applied over the segment axis after the block)
+    non_local: Sequence = (0, 0, 0, 0)
+    non_local_cfg: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,8 +116,13 @@ class ResNetTSM(nn.Module):
         x = max_pool_3x3_s2(x)
         outs = []
         inplanes = 64
+        non_locals = tuple(self.non_local) if self.non_local else \
+            (0,) * len(stage_blocks)
         for i, num_blocks in enumerate(stage_blocks):
             planes = 64 * 2**i
+            stage_nl = non_locals[i] if i < len(non_locals) else 0
+            stage_nl = tuple(stage_nl) if isinstance(
+                stage_nl, (tuple, list)) else (stage_nl,) * num_blocks
             for j in range(num_blocks):
                 stride = self.strides[i] if j == 0 else 1
                 with_ds = j == 0 and (
@@ -124,6 +134,19 @@ class ResNetTSM(nn.Module):
                     kwargs.update(num_segments=self.num_segments,
                                   shift_div=self.shift_div)
                 x = block_cls(**kwargs)(x, ura)
+                if stage_nl[j]:
+                    from ..common.non_local import NL3DWrapper
+                    cfg = dict(self.non_local_cfg or {})
+                    norm_cfg = cfg.pop('norm_cfg', None)
+                    x = NL3DWrapper(
+                        planes * block_cls.expansion, self.num_segments,
+                        reduction=cfg.get('reduction', 2),
+                        use_scale=cfg.get('use_scale', True),
+                        mode=cfg.get('mode', 'embedded_gaussian'),
+                        sub_sample=cfg.get('sub_sample', False),
+                        with_norm=norm_cfg is not None,
+                        zeros_init=cfg.get('zeros_init', True),
+                        name=f'layer{i + 1}_{j}_nl')(x, train=not ura)
             inplanes = planes * block_cls.expansion
             if i in self.out_indices:
                 outs.append(x)
