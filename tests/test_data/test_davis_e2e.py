@@ -273,3 +273,41 @@ def test_pred_nibble_packing_lossless(mini_davis):
         | (np.pad(pred, ((0, 0), (0, 1)))[:, 1::2] << 4))[None]
     got = VanillaTracker._fetch_preds(packed_dev, 1, (3, 5), True)
     np.testing.assert_array_equal(got[0], pred)
+
+
+@pytest.mark.parametrize('bits', [1, 2, 4])
+def test_propagate_decode_device_pack_roundtrip(bits):
+    """Device-side bit packing in _propagate_decode itself (not just the
+    host unpack mirror): run the jit at each of 1/2/4 bits per label on
+    synthetic features, round-trip through _fetch_preds, and compare to
+    the unpacked (pack=0) run of the same inputs — must be identical.
+    Odd output width exercises the pad/crop path."""
+    import jax.numpy as jnp
+
+    from vfs_tpu.models import build_model
+    from vfs_tpu.ops.propagation import PropagationConfig
+
+    model = build_model(
+        dict(type='VanillaTracker',
+             backbone=dict(type='ResNet', depth=18, out_indices=(3,))),
+        test_cfg=dict(precede_frames=3, topk=4, temperature=0.07))
+    k = 1 << bits
+    k_pad = max(((k + 3) // 4) * 4, 4)
+    rng = np.random.RandomState(bits)
+    t, h, w = 6, 8, 9
+    feats = jnp.asarray(rng.randn(t, h, w, 16), jnp.float32)
+    seg_first = np.zeros((h, w, k_pad), np.float32)
+    seg_first[np.arange(h)[:, None], np.arange(w)[None],
+              rng.randint(0, k, (h, w))] = 1.0
+    class_valid = jnp.asarray(np.arange(k_pad) < k)
+    cfg = PropagationConfig(precede_frames=3, topk=4, temperature=0.07,
+                            backend='tiled', neighbor_range=8)
+    out_hw = (23, 31)  # odd width: pad/crop roundtrip
+    ref, _ = model._propagate_decode(
+        feats=feats, seg_first=jnp.asarray(seg_first), mask=None,
+        class_valid=class_valid, cfg=cfg, out_hw=out_hw, pack=0)
+    packed, _ = model._propagate_decode(
+        feats=feats, seg_first=jnp.asarray(seg_first), mask=None,
+        class_valid=class_valid, cfg=cfg, out_hw=out_hw, pack=bits)
+    got = model._fetch_preds(packed, t, out_hw, bits)
+    np.testing.assert_array_equal(got, np.asarray(ref[:t]))
