@@ -125,6 +125,47 @@ class TrackerSiamFC:
             xf = xf[-1]
         return self.head.apply(variables['head'], kernel, xf)
 
+    @functools.partial(jax.jit, static_argnames=('self', 'bucket'))
+    def _update_fwd_region(self, variables, kernel, region, offs, sizes,
+                           bucket):
+        """Whole update step from ONE host-shipped search region per
+        sequence: in-jit scale crops (traced-scalar sampling matmuls) +
+        backbone + xcorr + response post-processing; only (scale_id,
+        peak y, peak x) per sequence return to the host (VERDICT r3 #6 —
+        the host's 3x cv2 crop + 3x cv2 bicubic upsample per frame were
+        the non-amortizing ~15 ms on a 1-core host).
+
+        region: (K, bucket, bucket, 3) uint8; offs: (K, S, 2) int32;
+        sizes: (K, S) int32. Crops are flattened scale-major (row s*K+j)
+        to pair crop (s, j) with kernel j under fast_xcorr's grouping.
+        """
+        from .device_crops import device_response_post, device_scale_crops
+        cfg = self.cfg
+        k_seq = region.shape[0]
+        crops = jax.vmap(
+            lambda r, o, s: device_scale_crops(r, o, s,
+                                               cfg['instance_sz']))(
+            region, offs, sizes)                    # (K, S, 255, 255, 3)
+        x = jnp.swapaxes(crops, 0, 1).reshape(
+            -1, cfg['instance_sz'], cfg['instance_sz'], 3)
+        x = (x - IMG_MEAN) / IMG_STD
+        xf = self.backbone.apply(variables['backbone'], x, train=False)
+        if isinstance(xf, tuple):
+            xf = xf[-1]
+        resp = self.head.apply(variables['head'], kernel, xf)[..., 0]
+        resp = resp.reshape(cfg['scale_num'], k_seq, *resp.shape[1:])
+        # the host path bicubic-resizes whatever size the xcorr yields to
+        # response_up * response_sz — mirror that from the traced shape
+        from .device_crops import cubic_resize_matrix
+        up_mat = jnp.asarray(cubic_resize_matrix(
+            resp.shape[-1], cfg['response_up'] * cfg['response_sz']))
+        hann = jnp.asarray(self._hann_window, jnp.float32)
+        return jax.vmap(
+            lambda r: device_response_post(
+                r, up_mat, hann, cfg['scale_penalty'],
+                cfg['window_influence']),
+            in_axes=1)(resp)                        # (K,) x3
+
     # -- per-sequence tracking state (shared by the single-sequence
     # got10k interface and track_batch) --------------------------------------
     def _make_state(self, img, box):
@@ -157,6 +198,37 @@ class TrackerSiamFC:
         upscale_sz = self.cfg['response_up'] * self.cfg['response_sz']
         win = np.outer(np.hanning(upscale_sz), np.hanning(upscale_sz))
         return win / win.sum()
+
+    def _make_region(self, img, st):
+        """Host side of the device-crop update: one integer-corner
+        region slice + per-scale offsets (no cv2 work)."""
+        from .device_crops import make_region
+        return make_region(img, st['center'],
+                           st['x_sz'] * self._scale_factors,
+                           st['avg_color'])
+
+    def _apply_peak(self, scale_id, loc, st):
+        """State/box update from the device-computed (scale_id, peak):
+        the tail of _apply_response after its argmax (reference
+        siamfc_tracker_base.py:245-319)."""
+        cfg = self.cfg
+        upscale_sz = cfg['response_up'] * cfg['response_sz']
+        disp_in_response = np.asarray(loc, np.float64) - \
+            (upscale_sz - 1) / 2
+        disp_in_instance = disp_in_response * \
+            cfg['total_stride'] / cfg['response_up']
+        disp_in_image = disp_in_instance * st['x_sz'] * \
+            self._scale_factors[scale_id] / cfg['instance_sz']
+        st['center'] += disp_in_image
+        scale = (1 - cfg['scale_lr']) * 1.0 + \
+            cfg['scale_lr'] * self._scale_factors[scale_id]
+        st['target_sz'] *= scale
+        st['z_sz'] *= scale
+        st['x_sz'] *= scale
+        return np.array([
+            st['center'][1] + 1 - (st['target_sz'][1] - 1) / 2,
+            st['center'][0] + 1 - (st['target_sz'][0] - 1) / 2,
+            st['target_sz'][1], st['target_sz'][0]])
 
     def _scale_crops(self, img, st):
         """(S, instance_sz, instance_sz, 3) search crops for a state."""
@@ -211,6 +283,14 @@ class TrackerSiamFC:
 
     def update(self, img):
         """Per-frame tracking step (reference :245-319)."""
+        if self.cfg.get('device_crops', True):
+            region, offs, sizes = self._make_region(img, self._state)
+            sid, ly, lx = self._update_fwd_region(
+                self.variables, self.kernel, jnp.asarray(region[None]),
+                jnp.asarray(offs[None]), jnp.asarray(sizes[None]),
+                bucket=region.shape[0])
+            return self._apply_peak(int(sid[0]),
+                                    (int(ly[0]), int(lx[0])), self._state)
         x = jnp.asarray(self._scale_crops(img, self._state))
         responses = self._update_fwd(self.variables, self.kernel, x)
         return self._apply_response(np.asarray(responses)[..., 0],
@@ -270,23 +350,50 @@ class TrackerSiamFC:
             init_dt = (time.time() - t0) / k
             for j in range(k):
                 times[j][0] = init_dt
+            use_dev = cfg.get('device_crops', True)
             xs = np.zeros((s, k, cfg['instance_sz'], cfg['instance_sz'],
                            3), np.float32)
+            regions = [np.zeros((64, 64, 3), np.uint8)] * k
+            offs_arr = np.zeros((k, s, 2), np.int32)
+            sizes_arr = np.ones((k, s), np.int32)
             for t in range(1, max(lengths)):
                 begin = time.time()
                 active = [j for j in range(k) if t < lengths[j]]
-                for j in active:
-                    img = ops.read_image(files[j][t])
-                    xs[:, j] = self._scale_crops(img, states[j])
-                # scale-major flatten: row s*k+j pairs crop (s, j) with
-                # kernel j under fast_xcorr's feature_group_count=k
-                resp = np.asarray(self._update_fwd(
-                    self.variables, kernels,
-                    jnp.asarray(xs.reshape(s * k, *xs.shape[2:]))))[..., 0]
-                resp = resp.reshape(s, k, *resp.shape[1:])
-                for j in active:
-                    boxes[j][t] = self._apply_response(resp[:, j],
-                                                       states[j])
+                if use_dev:
+                    for j in active:
+                        img = ops.read_image(files[j][t])
+                        regions[j], offs_arr[j], sizes_arr[j] = \
+                            self._make_region(img, states[j])
+                    bucket = max(r.shape[0] for r in regions)
+                    reg = np.zeros((k, bucket, bucket, 3), np.uint8)
+                    for j in range(k):
+                        r = regions[j]
+                        reg[j, :r.shape[0], :r.shape[1]] = r
+                    sid, ly, lx = self._update_fwd_region(
+                        self.variables, kernels, jnp.asarray(reg),
+                        jnp.asarray(offs_arr), jnp.asarray(sizes_arr),
+                        bucket=bucket)
+                    sid, ly, lx = (np.asarray(sid), np.asarray(ly),
+                                   np.asarray(lx))
+                    for j in active:
+                        boxes[j][t] = self._apply_peak(
+                            int(sid[j]), (int(ly[j]), int(lx[j])),
+                            states[j])
+                else:
+                    for j in active:
+                        img = ops.read_image(files[j][t])
+                        xs[:, j] = self._scale_crops(img, states[j])
+                    # scale-major flatten: row s*k+j pairs crop (s, j)
+                    # with kernel j under fast_xcorr's
+                    # feature_group_count=k
+                    resp = np.asarray(self._update_fwd(
+                        self.variables, kernels,
+                        jnp.asarray(xs.reshape(s * k,
+                                               *xs.shape[2:]))))[..., 0]
+                    resp = resp.reshape(s, k, *resp.shape[1:])
+                    for j in active:
+                        boxes[j][t] = self._apply_response(resp[:, j],
+                                                           states[j])
                 dt = (time.time() - begin) / max(len(active), 1)
                 for j in active:
                     times[j][t] = dt

@@ -173,3 +173,67 @@ def test_eval_metrics_perfect():
     succ, prec = eval_metrics(boxes, boxes)
     assert succ[-2] == 1.0  # IoU 1 > 0.95
     assert prec[20] == 1.0
+
+
+def test_bilinear_sample_matrix_matches_cv2():
+    """In-jit crop+resize (traced-scalar sampling matmuls) must equal the
+    host path: integer-corner patch + cv2.INTER_LINEAR (float input: cv2
+    uses exact float bilinear, so the match is tight)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from siamfc_tpu.device_crops import bilinear_sample_matrix
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(50, 60).astype(np.float32)
+    corner_y, corner_x, size, out = 3, 7, 17, 29
+    want = cv2.resize(img[corner_y:corner_y + size,
+                          corner_x:corner_x + size],
+                      (out, out), interpolation=cv2.INTER_LINEAR)
+    wy = bilinear_sample_matrix(50, out, jnp.asarray(corner_y),
+                                jnp.asarray(size))
+    wx = bilinear_sample_matrix(60, out, jnp.asarray(corner_x),
+                                jnp.asarray(size))
+    got = np.asarray(jnp.einsum('yi,ij,xj->yx', wy, jnp.asarray(img), wx))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_cubic_resize_matrix_matches_cv2():
+    """The response upsample constant must reproduce cv2.INTER_CUBIC
+    (A=-0.75 Keys kernel) on float inputs."""
+    import cv2
+
+    from siamfc_tpu.device_crops import cubic_resize_matrix
+
+    rng = np.random.RandomState(1)
+    r = rng.rand(17, 17).astype(np.float32)
+    want = cv2.resize(r, (272, 272), interpolation=cv2.INTER_CUBIC)
+    u = cubic_resize_matrix(17, 272)
+    got = u @ r @ u.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_device_crops_match_host_path(tmp_path):
+    """The on-device update (region upload + in-jit crops/response post)
+    must track like the host-crop path: same fixture, boxes within 1px
+    (sub-pixel resampling differences only — cv2's fixed-point uint8
+    bilinear vs our float path)."""
+    make_otb_fixture(str(tmp_path), num_frames=10)
+    boxes = {}
+    for dev in (True, False):
+        cfg = dict(default_cfg)
+        cfg['device_crops'] = dev
+        cfg['model'] = {'backbone': dict(type='ResNet', depth=18,
+                                         frozen_stages=4,
+                                         dilations=(1, 1, 2, 4),
+                                         strides=(1, 2, 1, 1),
+                                         out_indices=(3,),
+                                         norm_eval=True)}
+        tracker = TrackerSiamFC(cfg)
+        tracker.init_weights()
+        files = sorted(
+            (tmp_path / 'Square' / 'img').glob('*.jpg'))
+        gt = np.loadtxt(tmp_path / 'Square' / 'groundtruth_rect.txt',
+                        delimiter=',')
+        boxes[dev], _ = tracker.track([str(f) for f in files], gt[0])
+    np.testing.assert_allclose(boxes[True], boxes[False], atol=1.5)
