@@ -86,3 +86,31 @@ def test_pallas_video_bf16_matmul_close():
     agree = (np.argmax(np.asarray(ref), -1)
              == np.argmax(np.asarray(out), -1)).mean()
     assert agree > 0.97
+
+
+@pytest.mark.parametrize('splits,t_total,p', [
+    (2, 12, 4),   # wraparound + cross-split frame-0 duplication
+    (2, 6, 4),    # split 2 has no valid frames for small t
+    (3, 10, 5),   # ragged split sizes
+])
+def test_pallas_video_bank_splits_exact(splits, t_total, p):
+    """Bank-split passes (separate VMEM rings per contiguous offset
+    range, exact lexicographic merge in XLA) must reproduce the
+    single-pass results bit-for-bit on the tiled reference."""
+    rng = np.random.RandomState(11)
+    h, w, c, k, nr, tile, topk = 8, 9, 8, 3, 6, (4, 4), 5
+    feats = jnp.asarray(rng.randn(t_total, h, w, c), jnp.float32)
+    seg_first = jnp.asarray(
+        np.eye(k, dtype=np.float32)[rng.randint(0, k, (h, w))])
+    common = dict(precede_frames=p, topk=topk, temperature=0.07,
+                  neighbor_range=nr, pallas_tile=tile)
+    ref = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='tiled', **common))
+    out = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='pallas_video',
+                                            pallas_interpret=True,
+                                            video_bank_splits=splits,
+                                            **common))
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert (np.argmax(ref, -1) == np.argmax(out, -1)).mean() == 1.0
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

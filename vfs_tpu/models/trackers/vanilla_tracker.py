@@ -341,12 +341,13 @@ class VanillaTracker:
             # ring resident in VMEM + decoupled value gather — measured
             # 3.49 ms/frame vs 6.88 for the per-step scan kernel at r18
             # DAVIS-480p shapes (bench_kernel, v5e), argmax-exact vs the
-            # fp32 tiers. r50's radius-18 C=1024 ring (22 x 4.1 MB
-            # blocks) exceeds v5e VMEM — that protocol stays on the
-            # per-step scan kernel until the bank-split variant lands.
-            video_fits = (use_local and neighbor_range // 2 < 16)
-            default_backend = ('pallas_video' if video_fits else 'pallas') \
-                if jax.default_backend() == 'tpu' else 'tiled'
+            # fp32 tiers. Protocols whose full-bank ring exceeds VMEM
+            # (r50's radius-18 C=1024) run the bank-split variant
+            # automatically (video_bank_splits=None -> smallest fitting
+            # count).
+            default_backend = ('pallas_video'
+                               if jax.default_backend() == 'tpu'
+                               else 'tiled')
             backend = test_cfg.get('backend', default_backend)
             # scan-kernel tiling: wide circle masks (r50's
             # neighbor_range=36) amortize the halo better with a wider
@@ -380,7 +381,8 @@ class VanillaTracker:
                 pallas_extract=test_cfg.get('pallas_extract', 'mask'),
                 video_extract=test_cfg.get('video_extract', 'sweep'),
                 video_early_exit=bool(
-                    test_cfg.get('video_early_exit', True)))
+                    test_cfg.get('video_early_exit', True)),
+                video_bank_splits=test_cfg.get('video_bank_splits'))
 
             # adaptive bit width: smallest of 1/2/4 bits that covers the
             # video's label range (argmax is < num_classes — padded

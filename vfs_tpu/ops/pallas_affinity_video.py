@@ -314,11 +314,173 @@ def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
     return kernel, q_n, ring_n
 
 
+def _make_split_kernel(g, c, t_total, p_frames, off_lo, off_hi,
+                       include_first, topk, temperature, feat_dtype):
+    """Bank-split variant (sweep extraction only): one pass over the
+    video covering window offsets ``d in [off_lo, off_hi]`` (keys
+    ``f = t - d``), optionally plus the prepended first frame. Splitting
+    the 21-frame bank into contiguous offset ranges bounds the VMEM ring
+    (r50's radius-18 C=1024 blocks x 23 slots exceed v5e VMEM in one
+    pass); each pass still fetches every block exactly once per tile.
+    Candidate indices are emitted in the GLOBAL bank encoding
+    (j * kb_cap + pos), so the per-split top-k lists merge exactly in
+    XLA with a two-key lexicographic sort.
+
+    Within-split ties between equal fp32 scores at different positions
+    resolve by local segment order, which may differ from the global
+    flat order when the ring wraps — value-identical duplicates (the
+    frame-0 duplication) are unaffected, and distinct-position exact
+    score ties do not occur on real features."""
+    th, tw, r = g['th'], g['tw'], g['r']
+    tws, kbh, kb, kb_cap = g['tws'], g['kbh'], g['kb'], g['kb_cap']
+    q_n = th * tw
+    first_seg = 1 if include_first else 0
+    n_off = off_hi - off_lo + 1
+    n_seg = n_off + first_seg
+    ring_n = (off_hi + 2 if off_lo == 1 else n_off + 2) + 1
+    total_k = n_seg * kb_cap
+    inv_tau = 1.0 / temperature
+    exact = feat_dtype != jnp.bfloat16
+    # query sliver fetch geometry (off_lo > 1: frame t is not resident)
+    qd = r % 8
+    qw = _round_up(tw + qd, 8)
+
+    def kernel(feats_ref, mask_ref, out_s_ref, out_i_ref, ring, first_buf,
+               qbuf, mask_buf, sbuf, sem_ring, sem_first, sem_q, sem_m):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        oy = ti * th
+        ox = tj * tw
+
+        def fetch(f, buf, sem):
+            return pltpu.make_async_copy(
+                feats_ref.at[f, pl.ds(oy, kbh), pl.ds(ox, tws), :],
+                buf, sem)
+
+        def ring_fetch(f):
+            slot = lax.rem(f, ring_n)
+            return fetch(f, ring.at[slot], sem_ring.at[slot])
+
+        def q_fetch(t):
+            slot = lax.rem(t, 2)
+            return pltpu.make_async_copy(
+                feats_ref.at[t, pl.ds(oy + r, th),
+                             pl.ds(ox + r - qd, qw), :],
+                qbuf.at[slot], sem_q.at[slot])
+
+        cp_m = pltpu.make_async_copy(mask_ref.at[ti, tj], mask_buf, sem_m)
+        cp_m.start()
+        if include_first:
+            fetch(0, first_buf, sem_first).start()
+        if off_lo == 1:
+            ring_fetch(0).start()
+            if t_total >= 2:
+                ring_fetch(1).start()
+            ring_fetch(0).wait()
+        else:
+            q_fetch(1).start()
+        if include_first:
+            fetch(0, first_buf, sem_first).wait()
+        cp_m.wait()
+
+        def matmul(q, block):
+            keys = block.reshape(kb, c)
+            s = lax.dot_general(
+                q, keys, (((1,), (1,)), ((), ())),
+                precision=(lax.Precision.HIGHEST if exact
+                           else lax.Precision.DEFAULT),
+                preferred_element_type=jnp.float32) * inv_tau
+            return s + (mask_buf[:] if kb == kb_cap
+                        else mask_buf[:, :kb])
+
+        def step(t, _):
+            # ---- DMA schedule ----
+            if off_lo == 1:
+                ring_fetch(t).wait()          # frame t (queries + keys)
+
+                @pl.when(t + 1 < t_total)
+                def _():
+                    ring_fetch(t + 1).start()
+                q = ring[lax.rem(t, ring_n)][r:r + th, r:r + tw,
+                                             :].reshape(q_n, c)
+            else:
+                f_new = t - off_lo + 1        # first used at step t+1
+
+                @pl.when((f_new >= 0) & (f_new + off_lo <= t_total - 1))
+                def _():
+                    ring_fetch(f_new).start()
+
+                @pl.when(t - off_lo >= 0)
+                def _():
+                    ring_fetch(t - off_lo).wait()  # first use of f
+                q_fetch(t).wait()
+
+                @pl.when(t + 1 < t_total)
+                def _():
+                    q_fetch(t + 1).start()
+                q = qbuf[lax.rem(t, 2)][:, qd:qd + tw, :].reshape(q_n, c)
+
+            # segments of not-yet-valid frames stay NEG_INF
+            @pl.when(t < off_hi)
+            def _():
+                sbuf[:] = jnp.full((q_n, total_k), NEG_INF, jnp.float32)
+
+            def score_into(block, l_seg):
+                s = matmul(q, block)
+                if kb_cap > kb:
+                    s = jnp.concatenate(
+                        [s, jnp.full((q_n, kb_cap - kb), NEG_INF,
+                                     jnp.float32)], axis=1)
+                sbuf[:, pl.ds(pl.multiple_of(l_seg * kb_cap, 128),
+                              kb_cap)] = s
+
+            if include_first:
+                score_into(first_buf[:], 0)
+            for i_off, d in enumerate(range(off_lo, off_hi + 1)):
+                f = t - d
+                if d == 1:
+                    score_into(ring[lax.rem(f, ring_n)][:],
+                               first_seg + i_off)
+                else:
+                    @pl.when(f >= 0)
+                    def _(f=f, l=first_seg + i_off):
+                        score_into(ring[lax.rem(f, ring_n)][:], l)
+
+            col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
+            top_s, top_i = [], []
+            for p in range(topk):
+                s = sbuf[:]
+                m = jnp.max(s, axis=1, keepdims=True)
+                first = jnp.min(jnp.where(s >= m, col, total_k), axis=1,
+                                keepdims=True)
+                top_s.append(m)
+                top_i.append(first)
+                if p + 1 < topk:
+                    sbuf[:] = jnp.where(col == first, NEG_INF, s)
+            loc_i = jnp.concatenate(top_i, axis=1)      # (q_n, topk)
+            # local segment index -> GLOBAL bank position j so splits
+            # merge in one shared encoding
+            l_seg = loc_i // kb_cap
+            pos = loc_i % kb_cap
+            d_vec = off_lo + l_seg - first_seg
+            f_vec = t - d_vec
+            j_glob = 1 + lax.rem(f_vec + p_frames * 8, p_frames)
+            if include_first:
+                j_glob = jnp.where(l_seg == 0, 0, j_glob)
+            out_s_ref[0, 0, t] = jnp.concatenate(top_s, axis=1)
+            out_i_ref[0, 0, t] = j_glob * kb_cap + pos
+            return 0
+
+        lax.fori_loop(1, t_total, step, 0)
+
+    return kernel, q_n, ring_n, n_seg, qw
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'precede_frames',
                      'h', 'w', 'tile', 'interpret', 'early_exit',
-                     'extract'))
+                     'extract', 'bank_splits'))
 def video_topk_affinity(feats_pad: jnp.ndarray,
                         radius: float,
                         temperature: float,
@@ -329,7 +491,8 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
                         tile: Tuple[int, int] = (8, 8),
                         interpret: bool = False,
                         early_exit: bool = True,
-                        extract: str = 'sweep'):
+                        extract: str = 'sweep',
+                        bank_splits: int = 1):
     """Merged masked top-k affinity of every frame against its bank.
 
     Args:
@@ -346,16 +509,16 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
     if extract not in ('sweep', 'perframe'):
         raise ValueError(f"extract must be 'sweep' or 'perframe', "
                          f"got {extract!r}")
+    if bank_splits > 1 and extract != 'sweep':
+        raise ValueError("bank_splits > 1 requires extract='sweep'")
     t_total = feats_pad.shape[0]
     c = feats_pad.shape[-1]
     g = video_kernel_geometry(h, w, radius, tile)
     feat_dtype = feats_pad.dtype
-    kernel, q_n, ring_n = _make_video_kernel(
-        g, c, t_total, int(precede_frames), topk, float(temperature),
-        feat_dtype, early_exit, extract)
     nth, ntw, kbh, tws, kb, r, th, tw = (
         g['nth'], g['ntw'], g['kbh'], g['tws'], g['kb'], g['r'], g['th'],
         g['tw'])
+    q_n = th * tw
 
     # per-tile additive mask: circle + key-in-bounds + query-in-bounds
     qi, qj = jnp.divmod(jnp.arange(q_n), tw)
@@ -380,54 +543,106 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
                                 (0, g['kb_cap'] - kb)),
                         constant_values=NEG_INF)
 
-    grid_spec = pl.GridSpec(
-        grid=(nth, ntw),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # feats (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # per-tile mask (HBM)
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, t_total, q_n, topk),
-                         lambda i, j: (i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_total, q_n, topk),
-                         lambda i, j: (i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ring_n, kbh, tws, c), feat_dtype),   # ring
-            pltpu.VMEM((kbh, tws, c), feat_dtype),           # first_buf
-            pltpu.VMEM((q_n, g['kb_cap']), jnp.float32),     # mask
-            pltpu.VMEM((q_n, (precede_frames + 1) * g['kb_cap']
-                        if extract == 'sweep' else kb),
-                       jnp.float32),                         # sbuf
-            pltpu.VMEM((q_n, topk), jnp.float32),            # cand_s
-            pltpu.VMEM((q_n, topk), jnp.int32),              # cand_i
-            pltpu.VMEM((q_n, topk), jnp.float32),            # fcand_s
-            pltpu.VMEM((q_n, topk), jnp.int32),              # fcand_i
-            pltpu.SMEM((1, 1), jnp.int32),                   # flag
-            pltpu.SemaphoreType.DMA((ring_n,)),              # sem_ring
-            pltpu.SemaphoreType.DMA(()),                     # sem_first
-            pltpu.SemaphoreType.DMA(()),                     # sem_m
-        ],
-    )
-    ring_bytes = (ring_n + 1) * kbh * tws * c * feat_dtype.itemsize
+    out_shape = [
+        jax.ShapeDtypeStruct((nth, ntw, t_total, q_n, topk), jnp.float32),
+        jax.ShapeDtypeStruct((nth, ntw, t_total, q_n, topk), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, t_total, q_n, topk),
+                     lambda i, j: (i, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, t_total, q_n, topk),
+                     lambda i, j: (i, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # feats (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),   # per-tile mask (HBM)
+    ]
     out_bytes = 2 * 2 * t_total * q_n * _round_up(topk, 128) * 4
-    sbuf_bytes = q_n * ((precede_frames + 1) * g['kb_cap']
-                        if extract == 'sweep' else kb) * 4
-    vmem_limit = min(ring_bytes + out_bytes + 2 * sbuf_bytes +
-                     q_n * kb * 4 + 12 * 1024 * 1024, 122 * 1024 * 1024)
-    top_s, top_i = pl.pallas_call(
-        kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((nth, ntw, t_total, q_n, topk),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((nth, ntw, t_total, q_n, topk),
-                                 jnp.int32),
-        ],
-        grid_spec=grid_spec,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit),
-    )(feats_pad, mask4)
-    return top_s, top_i
+
+    if bank_splits <= 1:
+        kernel, q_n_, ring_n = _make_video_kernel(
+            g, c, t_total, int(precede_frames), topk, float(temperature),
+            feat_dtype, early_exit, extract)
+        grid_spec = pl.GridSpec(
+            grid=(nth, ntw), in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((ring_n, kbh, tws, c), feat_dtype),  # ring
+                pltpu.VMEM((kbh, tws, c), feat_dtype),       # first_buf
+                pltpu.VMEM((q_n, g['kb_cap']), jnp.float32),  # mask
+                pltpu.VMEM((q_n, (precede_frames + 1) * g['kb_cap']
+                            if extract == 'sweep' else kb),
+                           jnp.float32),                      # sbuf
+                pltpu.VMEM((q_n, topk), jnp.float32),         # cand_s
+                pltpu.VMEM((q_n, topk), jnp.int32),           # cand_i
+                pltpu.VMEM((q_n, topk), jnp.float32),         # fcand_s
+                pltpu.VMEM((q_n, topk), jnp.int32),           # fcand_i
+                pltpu.SMEM((1, 1), jnp.int32),                # flag
+                pltpu.SemaphoreType.DMA((ring_n,)),           # sem_ring
+                pltpu.SemaphoreType.DMA(()),                  # sem_first
+                pltpu.SemaphoreType.DMA(()),                  # sem_m
+            ],
+        )
+        ring_bytes = (ring_n + 1) * kbh * tws * c * feat_dtype.itemsize
+        sbuf_bytes = q_n * ((precede_frames + 1) * g['kb_cap']
+                            if extract == 'sweep' else kb) * 4
+        vmem_limit = min(ring_bytes + out_bytes + 2 * sbuf_bytes +
+                         q_n * kb * 4 + 12 * 1024 * 1024,
+                         122 * 1024 * 1024)
+        top_s, top_i = pl.pallas_call(
+            kernel, out_shape=out_shape, grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+        )(feats_pad, mask4)
+        return top_s, top_i
+
+    # ---- bank-split path: one pass per contiguous offset range ----
+    p = int(precede_frames)
+    bounds = [1 + (p * s) // bank_splits for s in range(bank_splits + 1)]
+    parts_s, parts_i = [], []
+    for s in range(bank_splits):
+        off_lo, off_hi = bounds[s], bounds[s + 1] - 1
+        if off_hi < off_lo:
+            continue
+        include_first = s == 0
+        kernel, q_n_, ring_n, n_seg, qw = _make_split_kernel(
+            g, c, t_total, p, off_lo, off_hi, include_first, topk,
+            float(temperature), feat_dtype)
+        grid_spec = pl.GridSpec(
+            grid=(nth, ntw), in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((ring_n, kbh, tws, c), feat_dtype),  # ring
+                pltpu.VMEM((kbh, tws, c), feat_dtype),       # first_buf
+                pltpu.VMEM((2, th, qw, c), feat_dtype),      # qbuf
+                pltpu.VMEM((q_n, g['kb_cap']), jnp.float32),  # mask
+                pltpu.VMEM((q_n, n_seg * g['kb_cap']),
+                           jnp.float32),                      # sbuf
+                pltpu.SemaphoreType.DMA((ring_n,)),           # sem_ring
+                pltpu.SemaphoreType.DMA(()),                  # sem_first
+                pltpu.SemaphoreType.DMA((2,)),                # sem_q
+                pltpu.SemaphoreType.DMA(()),                  # sem_m
+            ],
+        )
+        ring_bytes = (ring_n + 1) * kbh * tws * c * feat_dtype.itemsize
+        vmem_limit = min(ring_bytes + out_bytes +
+                         2 * q_n * n_seg * g['kb_cap'] * 4 +
+                         q_n * kb * 4 + 12 * 1024 * 1024,
+                         122 * 1024 * 1024)
+        ts, ti = pl.pallas_call(
+            kernel, out_shape=out_shape, grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+        )(feats_pad, mask4)
+        parts_s.append(ts)
+        parts_i.append(ti)
+
+    # exact lexicographic merge: sort by (-score, global flat idx) —
+    # torch.topk's tie rule — and keep the first topk
+    neg = jnp.concatenate([-s for s in parts_s], axis=-1)
+    idx = jnp.concatenate(parts_i, axis=-1)
+    neg_sorted, idx_sorted = jax.lax.sort((neg, idx), dimension=-1,
+                                          num_keys=2)
+    return -neg_sorted[..., :topk], idx_sorted[..., :topk]

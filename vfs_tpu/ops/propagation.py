@@ -94,6 +94,11 @@ class PropagationConfig(NamedTuple):
     # 'perframe' (immediate per-frame top-k + tau-early-exit merge —
     # latency-bound on v5e, kept as the exact A/B)
     video_extract: str = 'sweep'
+    # pallas_video: number of contiguous bank splits (passes over the
+    # video), each with its own VMEM key ring; None = smallest count
+    # whose ring+scores fit the VMEM budget (r18: 1, r50 radius-18
+    # C=1024: 2). Split top-k lists merge exactly in XLA.
+    video_bank_splits: Optional[int] = None
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -361,11 +366,26 @@ def _propagate_video_decoupled(feats: jnp.ndarray, seg_first: jnp.ndarray,
     if cfg.pallas_precision == 'bfloat16':
         feats = feats.astype(jnp.bfloat16)
     feats_pad = pad_for_video_kernel(feats, h, w, radius, tile)
+    splits = cfg.video_bank_splits
+    if splits is None:
+        # smallest split count whose per-pass key ring + score buffer
+        # fits the VMEM budget (the ring is (window span + 3) blocks)
+        geo = video_kernel_geometry(h, w, radius, tile)
+        block_b = geo['kbh'] * geo['tws'] * c * feats_pad.dtype.itemsize
+        q_n = tile[0] * tile[1]
+        budget = 72 * 2**20
+        splits = 4
+        for n in (1, 2, 3, 4):
+            span = -(-p // n)
+            if ((span + 3) * block_b +
+                    q_n * (span + 2) * geo['kb_cap'] * 4) < budget:
+                splits = n
+                break
     top_s, top_i = video_topk_affinity(
         feats_pad, radius=float(radius), temperature=cfg.temperature,
         topk=topk, precede_frames=p, h=h, w=w, tile=tile,
         interpret=cfg.pallas_interpret, early_exit=cfg.video_early_exit,
-        extract=cfg.video_extract)
+        extract=cfg.video_extract, bank_splits=int(splits))
 
     g = video_kernel_geometry(h, w, radius, tile)
     nth, ntw, th, tw, tws, kb_cap, r = (g['nth'], g['ntw'], g['th'],
