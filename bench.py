@@ -72,6 +72,17 @@ TEST_CFGS = {
 }
 TEST_CFG = TEST_CFGS[18]
 
+# Gate floors = known-good minus a small margin (VERDICT r3 #7: bf16mm
+# agreement measured 0.980 r18 / 0.989 r50 -> floors 0.97 / 0.98; fixture
+# J&F known-goods re-measured on the round-4 fixture — 4 videos x 24
+# frames so the gate exercises ring wraparound (24 > P=20); pretrain
+# known-good 33.5 steps/s).
+GATES = {
+    18: dict(fixture_jf=0.50, bf16_agreement=0.97),
+    50: dict(fixture_jf=0.42, bf16_agreement=0.98),
+    'pretrain_sps': 30.0,
+}
+
 META = dict(img_norm_cfg=dict(
     mean=np.array([123.675, 116.28, 103.53], np.float32),
     std=np.array([58.395, 57.12, 57.375], np.float32)))
@@ -170,11 +181,15 @@ def check_backend_agreement(model, video):
     rounding legitimately flips near-tie argmaxes on noise videos)."""
     imgs, seg, meta = video
     short = imgs[:20]
+    # production backend: the whole-video kernel where its VMEM ring
+    # fits (r18), the per-step scan kernel otherwise (r50 radius 18)
+    prod = 'pallas_video' \
+        if model.test_cfg.get('neighbor_range', 24) // 2 < 16 else 'pallas'
     preds = {}
     for name, over in (('tiled', dict(backend='tiled')),
-                       ('pallas', dict(backend='pallas',
+                       ('pallas', dict(backend=prod,
                                        pallas_precision='float32')),
-                       ('pallas_bf16', dict(backend='pallas'))):
+                       ('pallas_bf16', dict(backend=prod))):
         saved = dict(model.test_cfg)
         model.test_cfg.update(over)
         preds[name] = model.forward_test(short, seg, [meta])[0]
@@ -201,8 +216,11 @@ def check_fixture_jf(model):
                 else step for step in VAL_PIPELINE]
     tmp = tempfile.mkdtemp()
     try:
-        ann, img_root, ann_root = make_mini_davis(tmp, num_videos=2,
-                                                  num_frames=6)
+        # 4 videos x 24 frames: 24 > precede_frames=20 exercises ring
+        # wraparound inside the gate (VERDICT r3 #7 — 6-frame videos
+        # never filled the window)
+        ann, img_root, ann_root = make_mini_davis(tmp, num_videos=4,
+                                                  num_frames=24)
         dataset = build_dataset(dict(
             type='DavisDataset', ann_file=ann, data_prefix=img_root,
             anno_prefix=ann_root, data_root=tmp, pipeline=pipeline,
@@ -283,6 +301,54 @@ def measure_extract_stage(model, video, repeats=3):
         extract_mfu=round(flops_pf / wall_pf / PEAK_FLOPS_BF16, 4))
 
 
+def measure_pretrain(steps=30):
+    """Device-only SimSiam r18 pretrain step at the production workload
+    (reference configs/r18_nc...py:107,139 — batch 32 x 2 clips x 4
+    frames x 224^2, bf16 mixed precision): steps/s, frames/s, MFU, with
+    gates so a mixed-precision or train-step regression FAILS the bench
+    (VERDICT r3 weak #4 / next #5; known-good 33.5 steps/s, PROGRESS r3).
+    """
+    import jax
+    import jax.numpy as jnp
+    from vfs_tpu.apis.train import (apply_mixed_precision,
+                                    create_train_state, make_train_step)
+    from vfs_tpu.core.optimizer.builder import build_optimizer
+    from vfs_tpu.models import build_model as _build
+    from vfs_tpu.utils.config import Config
+
+    cfg = Config.fromfile(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'configs', 'r18_nc_sgd_cos_100e_r2_1xNx8_k400.py'))
+    cfg.bf16 = True
+    assert apply_mixed_precision(cfg), 'bf16 rewrite did not engage'
+    model = _build(cfg.model, train_cfg=cfg.get('train_cfg'))
+    tx, _ = build_optimizer(cfg.optimizer, cfg.get('lr_config'), 1000,
+                            100, None)
+    rng = np.random.RandomState(0)
+    # loader layout: channels-last (B, N clips, T, H, W, C)
+    batch = {'imgs': rng.rand(32, 2, 4, 224, 224, 3).astype(np.float32)}
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    step_fn = jax.jit(make_train_step(model, tx, mixed_precision=True),
+                      donate_argnums=(0,))
+    imgs = jnp.asarray(batch['imgs'])
+    frames_per_step = int(np.prod(imgs.shape[:3]))
+    cost = step_fn.lower(state, imgs, None, None).compile().cost_analysis()
+    state, log_vars = step_fn(state, imgs, None, None)
+    loss0 = float(log_vars['loss'])
+    t0 = time.time()
+    for _ in range(steps):
+        state, log_vars = step_fn(state, imgs, None, None)
+    loss = float(log_vars['loss'])
+    sps = steps / (time.time() - t0)
+    assert np.isfinite(loss) and np.isfinite(loss0), \
+        f'pretrain loss not finite: {loss0} -> {loss}'
+    flops = float(cost.get('flops', float('nan')))
+    return dict(steps_per_sec=round(sps, 1),
+                frames_per_sec=round(sps * frames_per_step, 0),
+                mfu=round(flops * sps / PEAK_FLOPS_BF16, 4),
+                loss=round(loss, 4))
+
+
 def bench_depth(model, videos, runs, gates):
     """Gates + timed passes for one backbone depth; returns the stats."""
     total_frames = sum(v[0].shape[0] for v in videos)
@@ -308,12 +374,21 @@ def bench_depth(model, videos, runs, gates):
     compute_s = measure_compute_only(model, videos[0])
     device_s = measure_device_only(model, videos[0])
     t0 = videos[0][0].shape[0]
+    # per-stage accounting for BOTH depths (VERDICT r3 #2): extraction
+    # measured directly on resident data; propagation+decode is the
+    # remainder of the device-only pipeline
+    stages = measure_extract_stage(model, videos[0])
+    device_ms = 1000 * device_s / t0 if device_s else None
+    if device_ms is not None:
+        stages['propagate_decode_ms_per_frame'] = round(
+            device_ms - stages['extract_ms_per_frame'], 2)
     return dict(
         fps=fps, pass_fps=pass_fps,
         compute_fps=t0 / compute_s,
         compute_ms=1000 * compute_s / t0,
         device_fps=t0 / device_s if device_s else None,
-        device_ms=1000 * device_s / t0 if device_s else None,
+        device_ms=device_ms,
+        stages=stages,
         agreement=agreement, bf16_agreement=bf16_agreement, jf=jf)
 
 
@@ -330,8 +405,8 @@ def main():
     # a deliberate quality regression must FAIL here, VERDICT r2 #6) ---
     model = build_model(18)
     r18 = bench_depth(model, videos, int(os.environ.get('BENCH_RUNS', 5)),
-                      gates=dict(fixture_jf=0.50, bf16_agreement=0.95))
-    stages = measure_extract_stage(model, videos[0])
+                      gates=GATES[18])
+    stages = r18['stages']
     link_gbps = measure_transfer(model, videos[0]) / 1e9
     del model
 
@@ -340,12 +415,9 @@ def main():
     r50_stats = None
     if os.environ.get('BENCH_R50', '1') != '0':
         model50 = build_model(50)
-        # r50 known-good fixture J&F on the seed-0 weights: 0.4438
-        # (r3 measurement; the wider C/neighbor_range protocol scores
-        # lower than r18's 0.52 at random init)
         r50 = bench_depth(model50, videos,
                           int(os.environ.get('BENCH_RUNS_R50', 3)),
-                          gates=dict(fixture_jf=0.42, bf16_agreement=0.95))
+                          gates=GATES[50])
         r50_stats = {
             'fps': round(r50['fps'], 2),
             'compute_only_fps': round(r50['compute_fps'], 2),
@@ -355,8 +427,15 @@ def main():
             'backend_agreement': round(r50['agreement'], 5),
             'bf16mm_vs_fp32_agreement': round(r50['bf16_agreement'], 5),
             'fixture_jf': round(r50['jf'], 4),
+            **r50['stages'],
         }
         del model50
+
+    pretrain = None
+    if os.environ.get('BENCH_PRETRAIN', '1') != '0':
+        pretrain = measure_pretrain()
+        assert pretrain['steps_per_sec'] >= GATES['pretrain_sps'], \
+            f'pretrain throughput regression: {pretrain}'
 
     print(json.dumps({
         'metric': 'davis480p_label_propagation_fps_per_chip',
@@ -379,11 +458,12 @@ def main():
             'fixture_jf': round(r18['jf'], 4),
             **stages,
             'r50': r50_stats,
+            'pretrain': pretrain,
             # the knobs the numbers were taken with (traceability)
             'config': {
                 'backbone_dtype': 'bfloat16',
                 'pallas_precision': TEST_CFG['pallas_precision'],
-                'backend': 'pallas',
+                'backend': 'pallas_video',
                 'batch_step': TEST_CFG['batch_step'],
                 # bits per label chosen per video from the class count
                 # (1/2/4). The bench videos carry 8 classes -> 4-bit

@@ -386,14 +386,18 @@ def train_model(model, dataset, cfg, validate: bool = False,
                 jsonl.log(entry)
                 if wandb_log is not None:
                     wandb_log.log(entry, step=step)
-        if jax.process_index() == 0:
-            ckpt_interval = 1
-            if cfg.get('checkpoint_config'):
-                ckpt_interval = cfg.checkpoint_config.get('interval', 1)
-            if (epoch + 1) % ckpt_interval == 0 or epoch + 1 == total_epochs:
-                path = save_checkpoint(
-                    os.path.join(work_dir, 'checkpoints'), epoch + 1,
-                    jax.device_get(state))
+        ckpt_interval = 1
+        if cfg.get('checkpoint_config'):
+            ckpt_interval = cfg.checkpoint_config.get('interval', 1)
+        if (epoch + 1) % ckpt_interval == 0 or epoch + 1 == total_epochs:
+            # EVERY process must enter the save: orbax synchronizes
+            # globally inside (rank-gating it desynchronizes the
+            # collective streams — caught by the 2-process full-loop
+            # test); orbax itself makes non-zero ranks no-op writers
+            path = save_checkpoint(
+                os.path.join(work_dir, 'checkpoints'), epoch + 1,
+                jax.device_get(state))
+            if jax.process_index() == 0:
                 logger.info(f'checkpoint saved to {path}')
         if validate and eval_hook is not None:
             state_box['state'] = state
