@@ -25,7 +25,8 @@ from ..checkpoint import latest_checkpoint, restore_checkpoint, \
 from ..core.optimizer.builder import build_optimizer
 from ..datasets import build_dataloader
 from ..models.trackers.sim_siam_tracker import parse_losses
-from ..parallel import create_mesh, replicated, shard_batch
+from ..parallel import create_mesh, replicated, shard_batch, \
+    shard_local_batch
 from ..utils import JsonlLogger, get_root_logger
 
 
@@ -351,7 +352,10 @@ def train_model(model, dataset, cfg, validate: bool = False,
                 feed['label'] = np.asarray(batch['label'])
             if device_aug is not None:
                 feed['orig_hw'] = np.asarray(batch['orig_hw'])
-            feed = shard_batch(feed, mesh)
+            # the loader yields this PROCESS's shard; assemble the
+            # global batch from the per-process locals (shard_batch
+            # would treat them as identical replicas and desync GSPMD)
+            feed = shard_local_batch(feed, mesh)
             imgs, labels = feed['imgs'], feed.get('label')
             if profile_steps and steps_run == 2:
                 try:

@@ -25,7 +25,7 @@ from ..checkpoint import latest_checkpoint, restore_checkpoint, \
     save_checkpoint
 from ..core.optimizer.builder import build_optimizer
 from ..datasets import build_dataloader
-from ..parallel import create_mesh, replicated, shard_batch
+from ..parallel import create_mesh, replicated, shard_local_batch
 from ..utils import JsonlLogger, get_root_logger
 from .train import TrainState
 
@@ -250,7 +250,7 @@ def train_localizer_model(model, dataset, cfg, validate: bool = False,
         t_iter = time.time()
         for i, batch in enumerate(loader):
             tensors = prepare(model, batch)
-            tensors = shard_batch(tensors, mesh)
+            tensors = shard_local_batch(tensors, mesh)
             rng, step_rng = jax.random.split(rng)
             state, log_vars = train_step(state, tensors, step_rng)
             if (i + 1) % log_interval == 0 or i + 1 == iters_per_epoch:
@@ -279,7 +279,7 @@ def train_localizer_model(model, dataset, cfg, validate: bool = False,
             val_rng = jax.random.PRNGKey(0)  # fixed: comparable epochs
             for batch in val_loader:
                 bn = len(next(iter(batch.values())))
-                tensors = shard_batch(prepare(model, batch), mesh)
+                tensors = shard_local_batch(prepare(model, batch), mesh)
                 log_vars = eval_step(state, tensors, val_rng)
                 # weight per-batch means by batch size so the ragged
                 # final batch doesn't overweight its samples (the

@@ -76,10 +76,39 @@ def replicate_tree(tree, mesh: Mesh):
         tree)
 
 
+def shard_local_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Assemble a GLOBAL sharded batch from per-process LOCAL batches.
+
+    The training loader yields each process its OWN shard
+    (``build_dataloader(num_shards=process_count)``), so hosts hold
+    DIFFERENT data — the opposite of :func:`shard_batch`'s multihost
+    contract (identical global array on every host). Feeding local
+    shards through ``shard_batch`` silently assembles a "replicated"
+    array whose replicas differ per process, and every downstream
+    GSPMD step desynchronizes (caught by the 2-process full-train-loop
+    test: run A's rank-0 checkpoint != run B's live state on rank 1).
+    This is the multihost equivalent of the reference's
+    DistributedSampler shard + per-GPU scatter
+    (reference datasets/samplers/distributed_sampler.py:5-33)."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    sharded = data_sharding(mesh, axis)
+
+    def put(x):
+        if not hasattr(x, 'ndim') or x.ndim == 0:
+            return x
+        return jax.make_array_from_process_local_data(
+            sharded, np.ascontiguousarray(x))
+
+    return jax.tree.map(put, batch)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
     """Device-put a host batch dict with the batch dim sharded over the
     mesh. Arrays whose leading dim does not divide the mesh fall back to
-    replication (tiny smoke batches)."""
+    replication (tiny smoke batches). Multi-process: every host must
+    hold the SAME full (global) array — per-process loader shards go
+    through :func:`shard_local_batch` instead."""
     sharded = data_sharding(mesh, axis)
     repl = replicated(mesh)
     n = mesh.shape[axis]
