@@ -88,6 +88,32 @@ def test_pallas_video_bf16_matmul_close():
     assert agree > 0.97
 
 
+@pytest.mark.parametrize('rows,splits', [(2, 1), (4, 1), (2, 2)])
+def test_pallas_video_sweep_rows_exact(rows, splits):
+    """Row-group-split sweep extraction (video_sweep_rows, the ILP A/B —
+    measured a wash on v5e: the sweep is issue-bound, not latency-bound)
+    must be invisible in the results, in both the single-pass and the
+    bank-split kernels."""
+    rng = np.random.RandomState(13)
+    t_total, h, w, c, k, nr, p, tile, topk = 10, 8, 9, 8, 3, 6, 4, (4, 4), 5
+    feats = jnp.asarray(rng.randn(t_total, h, w, c), jnp.float32)
+    seg_first = jnp.asarray(
+        np.eye(k, dtype=np.float32)[rng.randint(0, k, (h, w))])
+    common = dict(precede_frames=p, topk=topk, temperature=0.07,
+                  neighbor_range=nr, pallas_tile=tile)
+    ref = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='tiled', **common))
+    out = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='pallas_video',
+                                            pallas_interpret=True,
+                                            video_sweep_rows=rows,
+                                            video_bank_splits=splits,
+                                            **common))
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert (np.argmax(ref, -1) == np.argmax(out, -1)).mean() == 1.0
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize('splits,t_total,p', [
     (2, 12, 4),   # wraparound + cross-split frame-0 duplication
     (2, 6, 4),    # split 2 has no valid frames for small t

@@ -113,6 +113,14 @@ def main():
                 **base, backend='pallas_video', pallas_tile=tile,
                 pallas_precision='bfloat16', video_extract='perframe',
                 video_early_exit=False),
+            # sweep ILP A/B (r4: a wash — the sweep is issue-bound at
+            # ~0.27 ms/pass r18, not latency-bound on the pass chain)
+            'video_bf16mm_rows2': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=tile,
+                pallas_precision='bfloat16', video_sweep_rows=2),
+            'video_bf16mm_rows4': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=tile,
+                pallas_precision='bfloat16', video_sweep_rows=4),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

@@ -94,7 +94,7 @@ def pad_for_video_kernel(x: jnp.ndarray, h: int, w: int, radius: float,
 
 
 def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
-                       feat_dtype, early_exit, extract):
+                       feat_dtype, early_exit, extract, sweep_rows=1):
     th, tw, r = g['th'], g['tw'], g['r']
     tws, kbh, kb, kb_cap = g['tws'], g['kbh'], g['kb'], g['kb_cap']
     q_n = th * tw
@@ -292,19 +292,32 @@ def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
 
             frames_of(t, score_frame)
 
-            col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
-            top_s, top_i = [], []
+            # extraction: ``sweep_rows`` independent row groups whose
+            # pass chains interleave at source order — each group's
+            # pass p+1 depends only on its own pass p, so group B's
+            # work hides group A's reduce->mask->store latency (exact:
+            # query rows never interact in the sweep)
+            rows = q_n // sweep_rows
+            col = lax.broadcasted_iota(jnp.int32, (rows, total_k), 1)
+            tops = [[[], []] for _ in range(sweep_rows)]
             for p in range(topk):
-                s = sbuf[:]
-                m = jnp.max(s, axis=1, keepdims=True)
-                first = jnp.min(jnp.where(s >= m, col, total_k), axis=1,
-                                keepdims=True)
-                top_s.append(m)
-                top_i.append(first)
-                if p + 1 < topk:
-                    sbuf[:] = jnp.where(col == first, NEG_INF, s)
-            out_s_ref[0, 0, t] = jnp.concatenate(top_s, axis=1)
-            out_i_ref[0, 0, t] = jnp.concatenate(top_i, axis=1)
+                for gi in range(sweep_rows):
+                    r0 = gi * rows
+                    s = sbuf[r0:r0 + rows, :]
+                    m = jnp.max(s, axis=1, keepdims=True)
+                    first = jnp.min(jnp.where(s >= m, col, total_k),
+                                    axis=1, keepdims=True)
+                    tops[gi][0].append(m)
+                    tops[gi][1].append(first)
+                    if p + 1 < topk:
+                        sbuf[r0:r0 + rows, :] = jnp.where(
+                            col == first, NEG_INF, s)
+            for gi in range(sweep_rows):
+                r0 = gi * rows
+                out_s_ref[0, 0, t, r0:r0 + rows] = jnp.concatenate(
+                    tops[gi][0], axis=1)
+                out_i_ref[0, 0, t, r0:r0 + rows] = jnp.concatenate(
+                    tops[gi][1], axis=1)
             return 0
 
         lax.fori_loop(1, t_total,
@@ -315,7 +328,8 @@ def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
 
 
 def _make_split_kernel(g, c, t_total, p_frames, off_lo, off_hi,
-                       include_first, topk, temperature, feat_dtype):
+                       include_first, topk, temperature, feat_dtype,
+                       sweep_rows=1):
     """Bank-split variant (sweep extraction only): one pass over the
     video covering window offsets ``d in [off_lo, off_hi]`` (keys
     ``f = t - d``), optionally plus the prepended first frame. Splitting
@@ -446,29 +460,38 @@ def _make_split_kernel(g, c, t_total, p_frames, off_lo, off_hi,
                     def _(f=f, l=first_seg + i_off):
                         score_into(ring[lax.rem(f, ring_n)][:], l)
 
-            col = lax.broadcasted_iota(jnp.int32, (q_n, total_k), 1)
-            top_s, top_i = [], []
+            # row-group-split extraction: see _make_video_kernel (the
+            # groups' pass chains are independent and interleave)
+            rows = q_n // sweep_rows
+            col = lax.broadcasted_iota(jnp.int32, (rows, total_k), 1)
+            tops = [[[], []] for _ in range(sweep_rows)]
             for p in range(topk):
-                s = sbuf[:]
-                m = jnp.max(s, axis=1, keepdims=True)
-                first = jnp.min(jnp.where(s >= m, col, total_k), axis=1,
-                                keepdims=True)
-                top_s.append(m)
-                top_i.append(first)
-                if p + 1 < topk:
-                    sbuf[:] = jnp.where(col == first, NEG_INF, s)
-            loc_i = jnp.concatenate(top_i, axis=1)      # (q_n, topk)
-            # local segment index -> GLOBAL bank position j so splits
-            # merge in one shared encoding
-            l_seg = loc_i // kb_cap
-            pos = loc_i % kb_cap
-            d_vec = off_lo + l_seg - first_seg
-            f_vec = t - d_vec
-            j_glob = 1 + lax.rem(f_vec + p_frames * 8, p_frames)
-            if include_first:
-                j_glob = jnp.where(l_seg == 0, 0, j_glob)
-            out_s_ref[0, 0, t] = jnp.concatenate(top_s, axis=1)
-            out_i_ref[0, 0, t] = j_glob * kb_cap + pos
+                for gi in range(sweep_rows):
+                    r0 = gi * rows
+                    s = sbuf[r0:r0 + rows, :]
+                    m = jnp.max(s, axis=1, keepdims=True)
+                    first = jnp.min(jnp.where(s >= m, col, total_k),
+                                    axis=1, keepdims=True)
+                    tops[gi][0].append(m)
+                    tops[gi][1].append(first)
+                    if p + 1 < topk:
+                        sbuf[r0:r0 + rows, :] = jnp.where(
+                            col == first, NEG_INF, s)
+            for gi in range(sweep_rows):
+                r0 = gi * rows
+                loc_i = jnp.concatenate(tops[gi][1], axis=1)  # (rows, k)
+                # local segment index -> GLOBAL bank position j so
+                # splits merge in one shared encoding
+                l_seg = loc_i // kb_cap
+                pos = loc_i % kb_cap
+                d_vec = off_lo + l_seg - first_seg
+                f_vec = t - d_vec
+                j_glob = 1 + lax.rem(f_vec + p_frames * 8, p_frames)
+                if include_first:
+                    j_glob = jnp.where(l_seg == 0, 0, j_glob)
+                out_s_ref[0, 0, t, r0:r0 + rows] = jnp.concatenate(
+                    tops[gi][0], axis=1)
+                out_i_ref[0, 0, t, r0:r0 + rows] = j_glob * kb_cap + pos
             return 0
 
         lax.fori_loop(1, t_total, step, 0)
@@ -480,7 +503,7 @@ def _make_split_kernel(g, c, t_total, p_frames, off_lo, off_hi,
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'precede_frames',
                      'h', 'w', 'tile', 'interpret', 'early_exit',
-                     'extract', 'bank_splits'))
+                     'extract', 'bank_splits', 'sweep_rows'))
 def video_topk_affinity(feats_pad: jnp.ndarray,
                         radius: float,
                         temperature: float,
@@ -492,7 +515,8 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
                         interpret: bool = False,
                         early_exit: bool = True,
                         extract: str = 'sweep',
-                        bank_splits: int = 1):
+                        bank_splits: int = 1,
+                        sweep_rows: int = 1):
     """Merged masked top-k affinity of every frame against its bank.
 
     Args:
@@ -564,7 +588,7 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
     if bank_splits <= 1:
         kernel, q_n_, ring_n = _make_video_kernel(
             g, c, t_total, int(precede_frames), topk, float(temperature),
-            feat_dtype, early_exit, extract)
+            feat_dtype, early_exit, extract, sweep_rows)
         grid_spec = pl.GridSpec(
             grid=(nth, ntw), in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[
@@ -609,7 +633,7 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
         include_first = s == 0
         kernel, q_n_, ring_n, n_seg, qw = _make_split_kernel(
             g, c, t_total, p, off_lo, off_hi, include_first, topk,
-            float(temperature), feat_dtype)
+            float(temperature), feat_dtype, sweep_rows)
         grid_spec = pl.GridSpec(
             grid=(nth, ntw), in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[

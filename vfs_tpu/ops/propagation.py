@@ -99,6 +99,10 @@ class PropagationConfig(NamedTuple):
     # whose ring+scores fit the VMEM budget (r18: 1, r50 radius-18
     # C=1024: 2). Split top-k lists merge exactly in XLA.
     video_bank_splits: Optional[int] = None
+    # pallas_video sweep extraction: number of independent query-row
+    # groups whose top-k pass chains interleave (exact; >1 trades
+    # nothing — it only exposes ILP across the dependent pass chains)
+    video_sweep_rows: int = 1
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -385,7 +389,8 @@ def _propagate_video_decoupled(feats: jnp.ndarray, seg_first: jnp.ndarray,
         feats_pad, radius=float(radius), temperature=cfg.temperature,
         topk=topk, precede_frames=p, h=h, w=w, tile=tile,
         interpret=cfg.pallas_interpret, early_exit=cfg.video_early_exit,
-        extract=cfg.video_extract, bank_splits=int(splits))
+        extract=cfg.video_extract, bank_splits=int(splits),
+        sweep_rows=cfg.video_sweep_rows)
 
     g = video_kernel_geometry(h, w, radius, tile)
     nth, ntw, th, tw, tws, kb_cap, r = (g['nth'], g['ntw'], g['th'],
