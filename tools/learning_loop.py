@@ -250,6 +250,101 @@ def pretrain(work_dir, train_ann, total_epochs=24, repeat=4,
     return pth
 
 
+def pretrain_torch(work_dir, train_ann, total_epochs=24, repeat=4,
+                   batch=8, lr=0.05, seed=0):
+    """Paired control arm (VERDICT r3 #3): train the REFERENCE'S OWN
+    torch SimSiamBaseTracker (executed verbatim via tests/ref_loader) on
+    batches drawn from the identical data pipeline, with the same
+    SGD-momentum + per-step cosine schedule, then convert its backbone to
+    the torchvision layout and evaluate it through the SAME
+    J&F/retrieval protocol. If the torch-trained features show the same
+    margin profile as ours, the noisy fixture-scale J&F margin is a
+    property of the protocol, not of our trainer."""
+    import torch
+
+    sys.path.insert(0, osp.join(
+        osp.dirname(osp.dirname(osp.abspath(__file__))), 'tests'))
+    from ref_loader import load_reference_simsiam_tracker
+
+    from vfs_tpu.datasets import build_dataloader, build_dataset
+
+    train_pipeline = [
+        dict(type='SampleFrames', clip_len=1, frame_interval=0,
+             num_clips=8, out_of_bound_opt='loop'),
+        dict(type='Clip2Frame', clip_len=4),
+        dict(type='RawFrameDecode'),
+        dict(type='RandomResizedCrop', area_range=(0.2, 1.0),
+             same_on_clip=False, same_across_clip=False),
+        dict(type='Resize', scale=(CROP, CROP), keep_ratio=False),
+        dict(type='Flip', flip_ratio=0.5, same_on_clip=False,
+             same_across_clip=False),
+        dict(type='Normalize', mean=MEAN, std=STD, to_bgr=False),
+        dict(type='FormatShape', input_format='NCTHW'),
+        dict(type='Collect', keys=['imgs', 'label'], meta_keys=[]),
+    ]
+    dataset = build_dataset(dict(
+        type='RepeatDataset', times=repeat,
+        dataset=dict(type='RawframeDataset', ann_file=train_ann,
+                     data_prefix=osp.join(osp.dirname(train_ann), 'train'),
+                     pipeline=train_pipeline)))
+    loader = build_dataloader(dataset, videos_per_gpu=batch,
+                              workers_per_gpu=2, shuffle=True,
+                              drop_last=True, seed=seed)
+
+    head_cfg = {k: v for k, v in HEAD_CFG.items()
+                if k not in ('type', 'norm_cfg')}
+    ns = load_reference_simsiam_tracker()
+    torch.manual_seed(seed)
+    ref = ns.SimSiamBaseTracker(
+        backbone=dict(depth=18, pretrained=None, zero_init_residual=True),
+        img_head=dict(head_cfg),
+        train_cfg=dict(intra_video=True)).train()
+    opt = torch.optim.SGD(ref.parameters(), lr=lr, momentum=0.9,
+                          weight_decay=1e-4)
+    total_iters = total_epochs * len(loader)
+    step = 0
+    for _ in range(total_epochs):
+        for batch_data in loader:
+            # per-step cosine lr, matching optax cosine_decay_schedule
+            cur = lr * 0.5 * (1 + np.cos(np.pi * step / total_iters))
+            for grp in opt.param_groups:
+                grp['lr'] = cur
+            # loader emits channels-last (B, 2, T, H, W, C); the
+            # reference's forward_train wants (B, 2, C, T, H, W)
+            imgs = torch.from_numpy(np.ascontiguousarray(
+                np.transpose(batch_data['imgs'], (0, 1, 5, 2, 3, 4))))
+            losses = ref.forward_train(imgs)
+            loss = sum(v.mean() for k, v in losses.items() if 'loss' in k)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            step += 1
+    # reference ConvModule naming -> torchvision layout (the mapping of
+    # reference tools/convert_weights/convert_to_pretrained.py:7-64)
+    out = {}
+    for key, val in ref.backbone.state_dict().items():
+        if key.endswith('num_batches_tracked'):
+            continue
+        parts = key.split('.')
+        if parts[0] == 'conv1':
+            name = {'conv': 'conv1', 'bn': 'bn1'}[parts[1]]
+            out[f'{name}.{parts[2]}'] = val
+        elif parts[0].startswith('layer'):
+            if parts[2] == 'downsample':
+                idx = {'conv': '0', 'bn': '1'}[parts[3]]
+                out['.'.join(parts[:3]) + f'.{idx}.{parts[4]}'] = val
+            else:
+                name = parts[2].replace('conv', 'bn') \
+                    if parts[3] == 'bn' else parts[2]
+                out['.'.join(parts[:2]) + f'.{name}.{parts[4]}'] = val
+        else:
+            raise KeyError(key)
+    pth = osp.join(work_dir, 'pretrained_torch_tv.pth')
+    os.makedirs(work_dir, exist_ok=True)
+    torch.save(out, pth)
+    return pth
+
+
 def build_tracker(pretrained=None):
     from vfs_tpu.models import build_model
     backbone = dict(type='ResNet', depth=18, out_indices=(3,))
@@ -339,6 +434,11 @@ def main():
     parser.add_argument('--lr', type=float, default=0.05)
     parser.add_argument('--keep', action='store_true',
                         help='keep the work dir (default: fresh start)')
+    parser.add_argument('--arm', choices=['jax', 'torch'], default='jax',
+                        help="'torch' trains the reference's own torch "
+                             'model on the identical pipeline as a '
+                             'paired control (VERDICT r3 #3); the eval '
+                             'protocol is shared')
     args = parser.parse_args()
 
     import jax
@@ -351,8 +451,9 @@ def main():
     train_ann, val_ann, img_root, ann_root = make_synthetic_world(
         data_root, n_train=args.n_train, seed=args.seed)
 
-    pth = pretrain(args.work_dir, train_ann, total_epochs=args.epochs,
-                   repeat=args.repeat, lr=args.lr, seed=args.seed)
+    trainer = pretrain if args.arm == 'jax' else pretrain_torch
+    pth = trainer(args.work_dir, train_ann, total_epochs=args.epochs,
+                  repeat=args.repeat, lr=args.lr, seed=args.seed)
 
     results = {}
     for tag, pretrained in (('random', None), ('pretrained', pth)):
@@ -367,6 +468,7 @@ def main():
     results['retrieval_margin'] = round(
         results['retrieval_pretrained'] - results['retrieval_random'], 4)
     results['seed'] = args.seed
+    results['arm'] = args.arm
     results['steps'] = args.epochs * (args.n_train * args.repeat // 8)
     print(json.dumps(results))
     return results
