@@ -114,6 +114,35 @@ def test_pallas_video_sweep_rows_exact(rows, splits):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize('splits', [1, 2])
+def test_pallas_video_pass_mode_argmax_exact(splits):
+    """'argmax' per-pass formulation (jnp.argmax + jnp.max — independent
+    reductions, fusable into one traversal; measured SLOWER on v5e: 4.12
+    vs 3.47 ms/frame bf16mm r18 — the argmax lowering costs more than the
+    saved traversal) must be exact: argmax also returns the first
+    occurrence on ties, the torch.topk tie rule."""
+    rng = np.random.RandomState(17)
+    t_total, h, w, c, k, nr, p, tile, topk = 10, 8, 9, 8, 3, 6, 4, (4, 4), 5
+    feats = jnp.asarray(rng.randn(t_total, h, w, c), jnp.float32)
+    # exact ties across the mask boundary exercise the tie rule
+    feats = feats.at[3].set(feats[1])
+    seg_first = jnp.asarray(
+        np.eye(k, dtype=np.float32)[rng.randint(0, k, (h, w))])
+    common = dict(precede_frames=p, topk=topk, temperature=0.07,
+                  neighbor_range=nr, pallas_tile=tile)
+    ref = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='tiled', **common))
+    out = propagate_video(feats, seg_first, None,
+                          PropagationConfig(backend='pallas_video',
+                                            pallas_interpret=True,
+                                            video_pass_mode='argmax',
+                                            video_bank_splits=splits,
+                                            **common))
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert (np.argmax(ref, -1) == np.argmax(out, -1)).mean() == 1.0
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize('splits,t_total,p', [
     (2, 12, 4),   # wraparound + cross-split frame-0 duplication
     (2, 6, 4),    # split 2 has no valid frames for small t

@@ -121,6 +121,13 @@ def main():
             'video_bf16mm_rows4': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=tile,
                 pallas_precision='bfloat16', video_sweep_rows=4),
+            # one-traversal (fused max+argmax) pass formulation —
+            # measured SLOWER (4.12 vs 3.47 bf16mm, 6.22 vs 5.80 fp32
+            # ms/frame r18): the argmax lowering outweighs the saved
+            # traversal; flag documents the negative result
+            'video_bf16mm_argmax': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=tile,
+                pallas_precision='bfloat16', video_pass_mode='argmax'),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

@@ -66,6 +66,26 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _row_max_and_first(s, col, fill, pass_mode):
+    """One top-k extraction pass: row max + index of its FIRST
+    occurrence (torch.topk tie order).
+
+    'maxfirst' (default): max reduce, then argmin-of-where — the where
+    depends on the max, so the pass is three dependent full traversals
+    (max; compare+select+min; mask-store by the caller).
+    'argmax': ``jnp.argmax`` + ``jnp.max`` are INDEPENDENT reductions
+    over the same loaded values, so the compiler may fuse them into one
+    traversal — two traversals per pass instead of three. Exact either
+    way (argmax also returns the first occurrence on ties)."""
+    if pass_mode == 'argmax':
+        first = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]
+        m = jnp.max(s, axis=1, keepdims=True)
+        return m, first
+    m = jnp.max(s, axis=1, keepdims=True)
+    first = jnp.min(jnp.where(s >= m, col, fill), axis=1, keepdims=True)
+    return m, first
+
+
 def video_kernel_geometry(h: int, w: int, radius: float,
                           tile: Tuple[int, int]):
     """Static geometry shared by the kernel, the padding helper and the
@@ -94,7 +114,8 @@ def pad_for_video_kernel(x: jnp.ndarray, h: int, w: int, radius: float,
 
 
 def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
-                       feat_dtype, early_exit, extract, sweep_rows=1):
+                       feat_dtype, early_exit, extract, sweep_rows=1,
+                       pass_mode='maxfirst'):
     th, tw, r = g['th'], g['tw'], g['r']
     tws, kbh, kb, kb_cap = g['tws'], g['kbh'], g['kb'], g['kb_cap']
     q_n = th * tw
@@ -304,9 +325,8 @@ def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
                 for gi in range(sweep_rows):
                     r0 = gi * rows
                     s = sbuf[r0:r0 + rows, :]
-                    m = jnp.max(s, axis=1, keepdims=True)
-                    first = jnp.min(jnp.where(s >= m, col, total_k),
-                                    axis=1, keepdims=True)
+                    m, first = _row_max_and_first(s, col, total_k,
+                                                  pass_mode)
                     tops[gi][0].append(m)
                     tops[gi][1].append(first)
                     if p + 1 < topk:
@@ -329,7 +349,7 @@ def _make_video_kernel(g, c, t_total, p_frames, topk, temperature,
 
 def _make_split_kernel(g, c, t_total, p_frames, off_lo, off_hi,
                        include_first, topk, temperature, feat_dtype,
-                       sweep_rows=1):
+                       sweep_rows=1, pass_mode='maxfirst'):
     """Bank-split variant (sweep extraction only): one pass over the
     video covering window offsets ``d in [off_lo, off_hi]`` (keys
     ``f = t - d``), optionally plus the prepended first frame. Splitting
@@ -469,9 +489,8 @@ def _make_split_kernel(g, c, t_total, p_frames, off_lo, off_hi,
                 for gi in range(sweep_rows):
                     r0 = gi * rows
                     s = sbuf[r0:r0 + rows, :]
-                    m = jnp.max(s, axis=1, keepdims=True)
-                    first = jnp.min(jnp.where(s >= m, col, total_k),
-                                    axis=1, keepdims=True)
+                    m, first = _row_max_and_first(s, col, total_k,
+                                                  pass_mode)
                     tops[gi][0].append(m)
                     tops[gi][1].append(first)
                     if p + 1 < topk:
@@ -503,7 +522,7 @@ def _make_split_kernel(g, c, t_total, p_frames, off_lo, off_hi,
     jax.jit,
     static_argnames=('radius', 'temperature', 'topk', 'precede_frames',
                      'h', 'w', 'tile', 'interpret', 'early_exit',
-                     'extract', 'bank_splits', 'sweep_rows'))
+                     'extract', 'bank_splits', 'sweep_rows', 'pass_mode'))
 def video_topk_affinity(feats_pad: jnp.ndarray,
                         radius: float,
                         temperature: float,
@@ -516,7 +535,8 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
                         early_exit: bool = True,
                         extract: str = 'sweep',
                         bank_splits: int = 1,
-                        sweep_rows: int = 1):
+                        sweep_rows: int = 1,
+                        pass_mode: str = 'maxfirst'):
     """Merged masked top-k affinity of every frame against its bank.
 
     Args:
@@ -588,7 +608,7 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
     if bank_splits <= 1:
         kernel, q_n_, ring_n = _make_video_kernel(
             g, c, t_total, int(precede_frames), topk, float(temperature),
-            feat_dtype, early_exit, extract, sweep_rows)
+            feat_dtype, early_exit, extract, sweep_rows, pass_mode)
         grid_spec = pl.GridSpec(
             grid=(nth, ntw), in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[
@@ -633,7 +653,7 @@ def video_topk_affinity(feats_pad: jnp.ndarray,
         include_first = s == 0
         kernel, q_n_, ring_n, n_seg, qw = _make_split_kernel(
             g, c, t_total, p, off_lo, off_hi, include_first, topk,
-            float(temperature), feat_dtype, sweep_rows)
+            float(temperature), feat_dtype, sweep_rows, pass_mode)
         grid_spec = pl.GridSpec(
             grid=(nth, ntw), in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[

@@ -103,6 +103,11 @@ class PropagationConfig(NamedTuple):
     # groups whose top-k pass chains interleave (exact; >1 trades
     # nothing — it only exposes ILP across the dependent pass chains)
     video_sweep_rows: int = 1
+    # per-pass reduction formulation: 'maxfirst' (max, then
+    # argmin-of-where — three dependent traversals) or 'argmax'
+    # (jnp.argmax + jnp.max are independent reductions over the same
+    # loads — fusable into one traversal, two per pass). Exact both ways.
+    video_pass_mode: str = 'maxfirst'
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -390,7 +395,7 @@ def _propagate_video_decoupled(feats: jnp.ndarray, seg_first: jnp.ndarray,
         topk=topk, precede_frames=p, h=h, w=w, tile=tile,
         interpret=cfg.pallas_interpret, early_exit=cfg.video_early_exit,
         extract=cfg.video_extract, bank_splits=int(splits),
-        sweep_rows=cfg.video_sweep_rows)
+        sweep_rows=cfg.video_sweep_rows, pass_mode=cfg.video_pass_mode)
 
     g = video_kernel_geometry(h, w, radius, tile)
     nth, ntw, th, tw, tws, kb_cap, r = (g['nth'], g['ntw'], g['th'],
