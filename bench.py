@@ -181,10 +181,11 @@ def check_backend_agreement(model, video):
     rounding legitimately flips near-tie argmaxes on noise videos)."""
     imgs, seg, meta = video
     short = imgs[:20]
-    # production backend: the whole-video kernel where its VMEM ring
-    # fits (r18), the per-step scan kernel otherwise (r50 radius 18)
-    prod = 'pallas_video' \
-        if model.test_cfg.get('neighbor_range', 24) // 2 < 16 else 'pallas'
+    # production backend for BOTH depths: the whole-video kernel —
+    # protocols whose ring exceeds VMEM (r50 radius-18 C=1024) take the
+    # bank-split passes automatically, so the gate tests exactly what
+    # the timed passes run
+    prod = 'pallas_video'
     preds = {}
     for name, over in (('tiled', dict(backend='tiled')),
                        ('pallas', dict(backend=prod,
@@ -301,6 +302,52 @@ def measure_extract_stage(model, video, repeats=3):
         extract_mfu=round(flops_pf / wall_pf / PEAK_FLOPS_BF16, 4))
 
 
+def measure_propagation_stage(model, video, repeats=3):
+    """Propagation-kernel ms/frame on RESIDENT features with the exact
+    production PropagationConfig (VERDICT r3 #2: r50 needs per-stage
+    accounting — extraction/propagation/decode split, not a remainder)."""
+    import jax
+    import jax.numpy as jnp
+    from vfs_tpu.models.trackers.vanilla_tracker import (
+        make_propagation_config)
+    from vfs_tpu.ops.propagation import propagate_video
+    from vfs_tpu.ops.resize import pil_nearest_resize
+    imgs, seg, meta = video
+    handle = model.preload(imgs)
+    imgs_dev = handle[1]
+    yuv_hw = handle[3] if handle[0] == 'preloaded_yuv' else None
+    norm = meta['img_norm_cfg']
+    feats = model._extract_feats(
+        model._variables_for(imgs_dev), imgs_dev,
+        int(model.test_cfg.get('batch_step', 10)),
+        jnp.asarray(norm['mean'], jnp.float32),
+        jnp.asarray(norm['std'], jnp.float32), yuv_hw=yuv_hw)[0]
+    t, h, w = feats.shape[:3]
+    resized = pil_nearest_resize(seg.astype(np.float32),
+                                 (h, w)).astype(np.int64)
+    k_pad = max(int(seg.max()) + 1, 2)
+    k_pad = -(-k_pad // 4) * 4
+    seg_first = jnp.asarray(np.eye(k_pad, dtype=np.float32)[resized])
+    cfg, mask = make_propagation_config(model.test_cfg, h, w)
+
+    tiny = jax.jit(lambda x: x + 1)
+    float(tiny(jnp.zeros(())))
+    t0 = time.time()
+    float(tiny(jnp.zeros(())))
+    rtt = time.time() - t0
+
+    out = propagate_video(feats, seg_first, mask, cfg)
+    float(out.sum())  # compile + resident
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = propagate_video(feats, seg_first, mask, cfg)
+        float(out.sum())
+        times.append(time.time() - t0)
+    wall = max(statistics.median(times) - rtt, 1e-9)
+    return round(1000 * wall / t, 2)
+
+
 def measure_pretrain(steps=30):
     """Device-only SimSiam r18 pretrain step at the production workload
     (reference configs/r18_nc...py:107,139 — batch 32 x 2 clips x 4
@@ -378,10 +425,13 @@ def bench_depth(model, videos, runs, gates):
     # measured directly on resident data; propagation+decode is the
     # remainder of the device-only pipeline
     stages = measure_extract_stage(model, videos[0])
+    stages['propagation_ms_per_frame'] = measure_propagation_stage(
+        model, videos[0])
     device_ms = 1000 * device_s / t0 if device_s else None
     if device_ms is not None:
-        stages['propagate_decode_ms_per_frame'] = round(
-            device_ms - stages['extract_ms_per_frame'], 2)
+        stages['decode_readpack_ms_per_frame'] = round(
+            device_ms - stages['extract_ms_per_frame']
+            - stages['propagation_ms_per_frame'], 2)
     return dict(
         fps=fps, pass_fps=pass_fps,
         compute_fps=t0 / compute_s,

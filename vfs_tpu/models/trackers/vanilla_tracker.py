@@ -45,6 +45,70 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def make_propagation_config(test_cfg: Dict, h: int, w: int):
+    """Resolve the production ``PropagationConfig`` (+ dense mask when the
+    locality kernels don't apply) from reference-style ``test_cfg`` keys
+    at feature grid ``(h, w)``. Shared by ``forward_test`` and the stage
+    benchmarks (bench.py measures propagation with exactly this config).
+    """
+    neighbor_range = test_cfg.get('neighbor_range', None)
+    with_first_neighbor = bool(test_cfg.get('with_first_neighbor', True))
+    with_norm = bool(test_cfg.get('with_norm', True))
+    # the tiled locality kernel covers the default configuration;
+    # fall back to the dense masked path otherwise
+    use_local = (neighbor_range is not None and with_first_neighbor
+                 and with_norm)
+    mask = None
+    if neighbor_range is not None and not use_local:
+        mask = spatial_neighbor(h, w, neighbor_range, mode='circle')
+
+    # 'pallas_video' (round 4): whole-video kernel with the key
+    # ring resident in VMEM + decoupled value gather — measured
+    # 3.49 ms/frame vs 6.88 for the per-step scan kernel at r18
+    # DAVIS-480p shapes (bench_kernel, v5e), argmax-exact vs the
+    # fp32 tiers. Protocols whose full-bank ring exceeds VMEM
+    # (r50's radius-18 C=1024) run the bank-split variant
+    # automatically (video_bank_splits=None -> smallest fitting
+    # count).
+    default_backend = ('pallas_video'
+                       if jax.default_backend() == 'tpu' else 'tiled')
+    backend = test_cfg.get('backend', default_backend)
+    # scan-kernel tiling: wide circle masks (r50's
+    # neighbor_range=36) amortize the halo better with a wider
+    # tile (41.3 vs 45.8 ms/frame at radius 18; bit-exact at
+    # radius 12). The video kernel measured fastest at (8, 8)
+    # (3.49 vs 4.11 for (16, 8)) and its VMEM-resident ring only
+    # fits r50's radius-18 blocks at (8, 8).
+    if backend == 'pallas_video':
+        pallas_tile = (8, 8)
+    else:
+        pallas_tile = (8, 16) if (use_local
+                                  and neighbor_range // 2 >= 16) \
+            else (8, 8)
+    cfg = PropagationConfig(
+        precede_frames=int(test_cfg.get('precede_frames', 20)),
+        topk=int(test_cfg.get('topk', 10)),
+        temperature=float(test_cfg.get('temperature', 1.0)),
+        with_first=bool(test_cfg.get('with_first', True)),
+        with_first_neighbor=with_first_neighbor,
+        with_norm=with_norm,
+        neighbor_range=int(neighbor_range) if use_local else None,
+        backend=backend,
+        pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)),
+        pallas_scores=test_cfg.get('pallas_scores', 'float32'),
+        pallas_fetch=test_cfg.get('pallas_fetch', 'perframe'),
+        pallas_precision=test_cfg.get('pallas_precision', 'float32'),
+        pallas_matmul=test_cfg.get('pallas_matmul', 'perframe'),
+        pallas_group_frames=test_cfg.get('pallas_group_frames'),
+        pallas_extract=test_cfg.get('pallas_extract', 'mask'),
+        video_extract=test_cfg.get('video_extract', 'sweep'),
+        video_early_exit=bool(test_cfg.get('video_early_exit', True)),
+        video_bank_splits=test_cfg.get('video_bank_splits'),
+        video_sweep_rows=int(test_cfg.get('video_sweep_rows', 1)),
+        video_pass_mode=test_cfg.get('video_pass_mode', 'maxfirst'))
+    return cfg, mask
+
+
 @TRACKERS.register_module()
 class VanillaTracker:
     """Pixel tracker: propagate first-frame labels through a video.
@@ -325,64 +389,7 @@ class VanillaTracker:
                 class_valid = np.ones((k_pad,), bool)
                 first_pred = None  # handled by caller for soft labels
 
-            neighbor_range = test_cfg.get('neighbor_range', None)
-            with_first_neighbor = bool(
-                test_cfg.get('with_first_neighbor', True))
-            with_norm = bool(test_cfg.get('with_norm', True))
-            # the tiled locality kernel covers the default configuration;
-            # fall back to the dense masked path otherwise
-            use_local = (neighbor_range is not None and with_first_neighbor
-                         and with_norm)
-            mask = None
-            if neighbor_range is not None and not use_local:
-                mask = spatial_neighbor(h, w, neighbor_range, mode='circle')
-
-            # 'pallas_video' (round 4): whole-video kernel with the key
-            # ring resident in VMEM + decoupled value gather — measured
-            # 3.49 ms/frame vs 6.88 for the per-step scan kernel at r18
-            # DAVIS-480p shapes (bench_kernel, v5e), argmax-exact vs the
-            # fp32 tiers. Protocols whose full-bank ring exceeds VMEM
-            # (r50's radius-18 C=1024) run the bank-split variant
-            # automatically (video_bank_splits=None -> smallest fitting
-            # count).
-            default_backend = ('pallas_video'
-                               if jax.default_backend() == 'tpu'
-                               else 'tiled')
-            backend = test_cfg.get('backend', default_backend)
-            # scan-kernel tiling: wide circle masks (r50's
-            # neighbor_range=36) amortize the halo better with a wider
-            # tile (41.3 vs 45.8 ms/frame at radius 18; bit-exact at
-            # radius 12). The video kernel measured fastest at (8, 8)
-            # (3.49 vs 4.11 for (16, 8)) and its VMEM-resident ring only
-            # fits r50's radius-18 blocks at (8, 8).
-            if backend == 'pallas_video':
-                pallas_tile = (8, 8)
-            else:
-                pallas_tile = (8, 16) if (use_local
-                                          and neighbor_range // 2 >= 16) \
-                    else (8, 8)
-            cfg = PropagationConfig(
-                precede_frames=int(test_cfg.get('precede_frames', 20)),
-                topk=int(test_cfg.get('topk', 10)),
-                temperature=float(test_cfg.get('temperature', 1.0)),
-                with_first=bool(test_cfg.get('with_first', True)),
-                with_first_neighbor=with_first_neighbor,
-                with_norm=with_norm,
-                neighbor_range=int(neighbor_range)
-                if use_local else None,
-                backend=backend,
-                pallas_tile=tuple(test_cfg.get('pallas_tile', pallas_tile)),
-                pallas_scores=test_cfg.get('pallas_scores', 'float32'),
-                pallas_fetch=test_cfg.get('pallas_fetch', 'perframe'),
-                pallas_precision=test_cfg.get('pallas_precision',
-                                              'float32'),
-                pallas_matmul=test_cfg.get('pallas_matmul', 'perframe'),
-                pallas_group_frames=test_cfg.get('pallas_group_frames'),
-                pallas_extract=test_cfg.get('pallas_extract', 'mask'),
-                video_extract=test_cfg.get('video_extract', 'sweep'),
-                video_early_exit=bool(
-                    test_cfg.get('video_early_exit', True)),
-                video_bank_splits=test_cfg.get('video_bank_splits'))
+            cfg, mask = make_propagation_config(test_cfg, h, w)
 
             # adaptive bit width: smallest of 1/2/4 bits that covers the
             # video's label range (argmax is < num_classes — padded

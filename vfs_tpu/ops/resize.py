@@ -57,10 +57,21 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
         return jax.image.resize(x, (n, size[0], size[1], c), method='linear')
     ry = jnp.asarray(_linear_resize_matrix(size[0], h))
     rx = jnp.asarray(_linear_resize_matrix(size[1], w))
-    out = jnp.einsum('oh,nhwc->nowc', ry, x,
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum('pw,nowc->nopc', rx, out,
-                     preferred_element_type=jnp.float32)
+    # separable order by FLOP count: y-first contracts at the OUTPUT
+    # height (Hout*Win*(Hin+Wout) MACs), x-first at the input height
+    # (Hin*Wout*(Win+Hout)). For the decode upsample (60x108 -> 480x854)
+    # x-first is 1.57x fewer FLOPs. Same 2-tap weights either way; only
+    # fp32 summation order differs (last-ulp).
+    if size[0] * w * (h + size[1]) <= h * size[1] * (w + size[0]):
+        out = jnp.einsum('oh,nhwc->nowc', ry, x,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum('pw,nowc->nopc', rx, out,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum('pw,nhwc->nhpc', rx, x,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum('oh,nhpc->nopc', ry, out,
+                         preferred_element_type=jnp.float32)
     return out
 
 
