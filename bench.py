@@ -266,6 +266,7 @@ def measure_extract_stage(model, video, repeats=3):
     imgs_dev, t = handle[1], imgs.shape[0]
     yuv_hw = handle[3] if handle[0] == 'preloaded_yuv' else None
     batch_step = int(model.test_cfg.get('batch_step', 10))
+    bulk_step = int(model.test_cfg.get('extract_bulk_step', 40))
     norm = meta['img_norm_cfg']
     mean = jnp.asarray(norm['mean'], jnp.float32)
     std = jnp.asarray(norm['std'], jnp.float32)
@@ -278,23 +279,28 @@ def measure_extract_stage(model, video, repeats=3):
     rtt = time.time() - t0
 
     feats = model._extract_feats(variables, imgs_dev, batch_step, mean, std,
-                                 yuv_hw=yuv_hw)
+                                 yuv_hw=yuv_hw, bulk_step=bulk_step)
     float(feats[0].sum())  # force (compile + residency)
     times = []
     for _ in range(repeats):
         t0 = time.time()
         feats = model._extract_feats(variables, imgs_dev, batch_step,
-                                     mean, std, yuv_hw=yuv_hw)
+                                     mean, std, yuv_hw=yuv_hw,
+                                     bulk_step=bulk_step)
         float(feats[0].sum())
         times.append(time.time() - t0)
     wall = max(statistics.median(times) - rtt, 1e-9)
     # jit binds self for __call__ but not for .lower — pass it explicitly
     cost = model._extract_feats.lower(
         model, variables, imgs_dev, batch_step, mean,
-        std, yuv_hw=yuv_hw).compile().cost_analysis()
-    # XLA cost analysis counts the lax.map BODY once (one chunk of
-    # ``batch_step`` frames) — per-frame = /batch_step
-    flops_pf = float(cost.get('flops', float('nan'))) / batch_step
+        std, yuv_hw=yuv_hw, bulk_step=bulk_step).compile().cost_analysis()
+    # XLA cost analysis counts each lax.map BODY once (one bulk_step
+    # chunk + one batch_step tail chunk when T % bulk_step != 0) —
+    # per-frame = / the frames those counted bodies cover
+    t_total = imgs_dev.shape[0]
+    counted = (bulk_step + (batch_step if t_total % bulk_step else 0)
+               if bulk_step and t_total >= bulk_step else batch_step)
+    flops_pf = float(cost.get('flops', float('nan'))) / counted
     wall_pf = wall / imgs_dev.shape[0]
     return dict(
         extract_ms_per_frame=round(1000 * wall_pf, 2),

@@ -199,6 +199,33 @@ def test_vanilla_tracker_bf16_backbone(mini_davis):
     assert preds[0].shape == (8, 64, 96)
 
 
+def test_extract_bulk_step_matches_uniform():
+    """extract_bulk_step (bulk conv-batch + batch_step tail inside one
+    jit) must produce the same features as the uniform batch_step path —
+    the conv math is per-frame-independent, only the chunking changes."""
+    import jax.numpy as jnp
+    import numpy as np
+    model = build_model(
+        dict(type='VanillaTracker',
+             backbone=dict(type='ResNet', depth=18, out_indices=(3,))),
+        test_cfg=dict(precede_frames=3, topk=5, temperature=0.07,
+                      strides=(1, 2, 1, 1), out_indices=(2,),
+                      neighbor_range=12, with_first=True,
+                      with_first_neighbor=True, batch_step=2))
+    model.init_weights(input_shape=(1, 32, 48, 3))
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(6, 32, 48, 3).astype(np.float32))
+    base = model._extract_feats(model.variables, imgs, 2)
+    # 6 = one bulk chunk of 4 + one tail chunk of 2
+    bulk = model._extract_feats(model.variables, imgs, 2, bulk_step=4)
+    # bulk_step larger than T falls back to the uniform path
+    over = model._extract_feats(model.variables, imgs, 2, bulk_step=8)
+    for b, u, o in zip(bulk, base, over):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(u),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(u))
+
+
 def test_multi_device_eval_matches_single(mini_davis):
     """Round-robin multi-chip eval (single_process_test(devices=...)) must
     give bit-identical predictions and the same dataset order as the

@@ -17,6 +17,9 @@ Functional re-design of the reference VanillaTracker
 ``test_cfg`` keys mirror the reference configs (configs/r18_nc...py:27-36):
 precede_frames, topk, temperature, strides, out_indices, neighbor_range,
 with_first, with_first_neighbor, all_blocks, save_np, batch_step, with_norm.
+TPU-side extras: extract_bulk_step (bulk conv-batch size decoupled from the
+T padding granularity, see ``_extract_feats``), backend, pallas_precision,
+input_format, pack_preds.
 """
 
 from __future__ import annotations
@@ -173,9 +176,11 @@ class VanillaTracker:
 
     # -- jitted stages ----------------------------------------------------
     @functools.partial(jax.jit,
-                       static_argnames=('self', 'batch_step', 'yuv_hw'))
+                       static_argnames=('self', 'batch_step', 'yuv_hw',
+                                        'bulk_step'))
     def _extract_feats(self, variables, imgs: jnp.ndarray, batch_step: int,
-                       norm_mean=None, norm_std=None, yuv_hw=None):
+                       norm_mean=None, norm_std=None, yuv_hw=None,
+                       bulk_step: int = 0):
         """imgs (T, H, W, 3) -> tuple of (T, h, w, c) feature banks.
 
         T must be a multiple of batch_step; runs the backbone per chunk
@@ -184,9 +189,16 @@ class VanillaTracker:
         host link than pre-normalized float32). ``yuv_hw=(H, W)`` means
         ``imgs`` is the flat planar-I420 transport layout (1.5 bytes/px —
         another 2x fewer link bytes; see ops/yuv.py): the chroma
-        upsample + BT.601 inverse fuse into this jit ahead of conv1."""
-        t = imgs.shape[0]
-        chunks = imgs.reshape(t // batch_step, batch_step, *imgs.shape[1:])
+        upsample + BT.601 inverse fuse into this jit ahead of conv1.
+
+        ``bulk_step`` (a multiple of ``batch_step``, 0 = off) decouples
+        the conv batch from the T-padding granularity: the bulk of the
+        video runs in ``bulk_step``-frame chunks (larger conv batches use
+        the MXU better — measured 0.47 vs 0.70 ms/frame at 40 vs 20,
+        PROGRESS r3) while T still pads only to ``batch_step`` multiples,
+        so propagation never sees the extra padded frames a uniform
+        bulk-sized batch would force; the <=(bulk_step - batch_step)
+        tail runs at ``batch_step``."""
 
         def fwd(chunk):
             if yuv_hw is not None:
@@ -203,8 +215,23 @@ class VanillaTracker:
             # at this seam
             return tuple(o.astype(jnp.float32) for o in outs)
 
-        outs = jax.lax.map(fwd, chunks)
-        return tuple(o.reshape(t, *o.shape[2:]) for o in outs)
+        def run(part, step):
+            t = part.shape[0]
+            chunks = part.reshape(t // step, step, *part.shape[1:])
+            outs = jax.lax.map(fwd, chunks)
+            return tuple(o.reshape(t, *o.shape[2:]) for o in outs)
+
+        t = imgs.shape[0]
+        if bulk_step and bulk_step > batch_step and t >= bulk_step:
+            assert bulk_step % batch_step == 0, (bulk_step, batch_step)
+            t_bulk = (t // bulk_step) * bulk_step
+            bulk = run(imgs[:t_bulk], bulk_step)
+            if t_bulk == t:
+                return bulk
+            tail = run(imgs[t_bulk:], batch_step)
+            return tuple(jnp.concatenate([b, s], axis=0)
+                         for b, s in zip(bulk, tail))
+        return run(imgs, batch_step)
 
     @functools.partial(jax.jit,
                        static_argnames=('self', 'cfg', 'out_hw', 'pack'))
@@ -354,7 +381,9 @@ class VanillaTracker:
             norm_std = jnp.asarray(norm_cfg['std'], jnp.float32)
         feats = self._extract_feats(self._variables_for(imgs_dev), imgs_dev,
                                     batch_step, norm_mean, norm_std,
-                                    yuv_hw=yuv_hw)
+                                    yuv_hw=yuv_hw,
+                                    bulk_step=int(test_cfg.get(
+                                        'extract_bulk_step', 40)))
 
         original_shape = tuple(img_meta[0]['original_shape'][:2])
         input_onehot = ref_seg_map.ndim == 3  # (H, W, K) soft labels
