@@ -72,15 +72,15 @@ TEST_CFGS = {
 }
 TEST_CFG = TEST_CFGS[18]
 
-# Gate floors = known-good minus a small margin (VERDICT r3 #7: bf16mm
-# agreement measured 0.980 r18 / 0.989 r50 -> floors 0.97 / 0.98; fixture
-# J&F known-goods re-measured on the round-4 fixture — 4 videos x 24
-# frames so the gate exercises ring wraparound (24 > P=20); pretrain
-# known-good 33.5 steps/s).
+# Gate floors = known-good minus a small margin (VERDICT r3 #7 / r4 #4:
+# bf16mm agreement measured 0.980 r18 / 0.989 r50 -> floors 0.97 / 0.98;
+# fixture J&F known-goods on the round-4 fixture — 4 videos x 24 frames
+# so the gate exercises ring wraparound (24 > P=20) — measured 0.5531
+# r18 / 0.5227 r50 (BENCH_r04); pretrain known-good 34.1 steps/s).
 GATES = {
-    18: dict(fixture_jf=0.50, bf16_agreement=0.97),
-    50: dict(fixture_jf=0.42, bf16_agreement=0.98),
-    'pretrain_sps': 30.0,
+    18: dict(fixture_jf=0.53, bf16_agreement=0.97),
+    50: dict(fixture_jf=0.50, bf16_agreement=0.98),
+    'pretrain_sps': 32.0,
 }
 
 META = dict(img_norm_cfg=dict(
@@ -457,8 +457,9 @@ def main():
     videos = make_videos()
 
     # --- r18 headline (floors at known-good minus a small margin:
-    # fixture J&F measured 0.52 / bf16 agreement 0.982 on r2 weights —
-    # a deliberate quality regression must FAIL here, VERDICT r2 #6) ---
+    # fixture J&F measured 0.5531 / bf16 agreement 0.980 on the round-4
+    # kernel — a deliberate quality regression must FAIL here,
+    # VERDICT r2 #6 / r4 #4) ---
     model = build_model(18)
     r18 = bench_depth(model, videos, int(os.environ.get('BENCH_RUNS', 5)),
                       gates=GATES[18])

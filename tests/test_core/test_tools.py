@@ -66,6 +66,64 @@ def test_analyze_logs_cal_train_time(tmp_path):
     assert 'average iter time' in r.stdout.lower() or 'time' in r.stdout
 
 
+def test_demo_mask_propagation(tmp_path):
+    """demo/demo.py end-to-end (VERDICT r4 #6 — the last untested CLI):
+    tiny synthetic mp4 + 2-object palette mask -> output mp4 exists with
+    matching frame count and frame 0's overlay carries the palette color
+    in the mask region (artifact implied by the reference's
+    demo/demo_out.mp4, SURVEY §3.4)."""
+    import cv2
+    from PIL import Image
+
+    h, w, t = 64, 96, 8
+    vid = str(tmp_path / 'in.mp4')
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*'mp4v'), 24,
+                             (w, h))
+    rng = np.random.RandomState(0)
+    base = rng.randint(60, 190, (h, w, 3), np.uint8)
+    for i in range(t):
+        frame = base.copy()
+        frame[20:36, 10 + 2 * i:26 + 2 * i] = (220, 40, 40)
+        writer.write(frame)
+    writer.release()
+
+    mask = np.zeros((h, w), np.uint8)
+    mask[20:36, 10:26] = 1
+    mask[44:56, 60:80] = 2
+    mask_png = str(tmp_path / 'mask.png')
+    Image.fromarray(mask).save(mask_png)
+
+    sys.path.insert(0, REPO)
+    from test_parity_torch import _fabricated_tv_state_dict
+    import torch
+    ckpt = str(tmp_path / 'r18.pth')
+    torch.save(_fabricated_tv_state_dict(18), ckpt)
+
+    out = str(tmp_path / 'out.mp4')
+    r = _run(['demo/demo.py',
+              'configs/r18_nc_sgd_cos_100e_r2_1xNx8_k400.py',
+              ckpt, vid, mask_png, out, '--height', '64',
+              '--alpha', '1.0'], timeout=900)
+    assert r.returncode == 0, r.stderr
+    assert osp.exists(out)
+    cap = cv2.VideoCapture(out)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    assert len(frames) == t, f'{len(frames)} != {t}'
+    # frame 0's prediction is the input mask; alpha=1.0 paints the DAVIS
+    # palette colors (1 -> (128,0,0), 2 -> (0,128,0)) modulo mp4 loss
+    f0 = frames[0].astype(np.int32)
+    obj1 = f0[22:34, 12:24].mean(axis=(0, 1))
+    obj2 = f0[46:54, 62:78].mean(axis=(0, 1))
+    assert abs(obj1[0] - 128) < 40 and obj1[1] < 60 and obj1[2] < 60, obj1
+    assert abs(obj2[1] - 128) < 40 and obj2[0] < 60 and obj2[2] < 60, obj2
+
+
 def test_get_flops_runs():
     r = _run(['tools/analysis/get_flops.py',
               'configs/r18_nc_sgd_cos_100e_r2_1xNx8_k400.py',
