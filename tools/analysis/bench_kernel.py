@@ -99,35 +99,58 @@ def main():
                 **base, backend='pallas', pallas_tile=tile,
                 pallas_precision='bfloat16', pallas_extract='packed'),
             'video_fp32': PropagationConfig(
-                **base, backend='pallas_video', pallas_tile=tile),
+                **base, backend='pallas_video', pallas_tile=tile, video_engine='v1'),
             'video_bf16mm': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=tile,
-                pallas_precision='bfloat16'),
+                pallas_precision='bfloat16',
+                video_engine='v1'),
             'video_bf16mm_16x8': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=(16, 8),
-                pallas_precision='bfloat16'),
+                pallas_precision='bfloat16',
+                video_engine='v1'),
             'video_bf16mm_perframe': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=tile,
-                pallas_precision='bfloat16', video_extract='perframe'),
+                pallas_precision='bfloat16', video_extract='perframe',
+                video_engine='v1'),
             'video_bf16mm_pf_noexit': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=tile,
                 pallas_precision='bfloat16', video_extract='perframe',
-                video_early_exit=False),
+                video_early_exit=False, video_engine='v1'),
             # sweep ILP A/B (r4: a wash — the sweep is issue-bound at
             # ~0.27 ms/pass r18, not latency-bound on the pass chain)
             'video_bf16mm_rows2': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=tile,
-                pallas_precision='bfloat16', video_sweep_rows=2),
+                pallas_precision='bfloat16', video_sweep_rows=2,
+                video_engine='v1'),
             'video_bf16mm_rows4': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=tile,
-                pallas_precision='bfloat16', video_sweep_rows=4),
+                pallas_precision='bfloat16', video_sweep_rows=4,
+                video_engine='v1'),
             # one-traversal (fused max+argmax) pass formulation —
             # measured SLOWER (4.12 vs 3.47 bf16mm, 6.22 vs 5.80 fp32
             # ms/frame r18): the argmax lowering outweighs the saved
             # traversal; flag documents the negative result
             'video_bf16mm_argmax': PropagationConfig(
                 **base, backend='pallas_video', pallas_tile=tile,
-                pallas_precision='bfloat16', video_pass_mode='argmax'),
+                pallas_precision='bfloat16', video_pass_mode='argmax',
+                video_engine='v1'),
+            # round-5 v2 engine (qi-compact stores + query pairing +
+            # compact outputs; auto splits/qpair): r18 3.52 -> 2.80,
+            # r50 8.67 -> 8.14 ms/frame on v5e
+            'video2_bf16mm_auto': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=(8, 8),
+                pallas_precision='bfloat16', video_engine='v2'),
+            'video2_bf16mm_nocompact': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=(8, 8),
+                pallas_precision='bfloat16', video_engine='v2',
+                video_compact=False),
+            'video2_bf16mm_q1': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=(8, 8),
+                pallas_precision='bfloat16', video_engine='v2',
+                video_qpair=1),
+            'video2_fp32_auto': PropagationConfig(
+                **base, backend='pallas_video', pallas_tile=(8, 8),
+                video_engine='v2'),
         }
 
     # estimate the tunnel RTT with a trivial dispatch (force the compile

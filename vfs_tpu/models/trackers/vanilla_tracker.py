@@ -108,7 +108,10 @@ def make_propagation_config(test_cfg: Dict, h: int, w: int):
         video_early_exit=bool(test_cfg.get('video_early_exit', True)),
         video_bank_splits=test_cfg.get('video_bank_splits'),
         video_sweep_rows=int(test_cfg.get('video_sweep_rows', 1)),
-        video_pass_mode=test_cfg.get('video_pass_mode', 'maxfirst'))
+        video_pass_mode=test_cfg.get('video_pass_mode', 'maxfirst'),
+        video_engine=test_cfg.get('video_engine', 'v2'),
+        video_qpair=int(test_cfg.get('video_qpair', 0)),
+        video_compact=bool(test_cfg.get('video_compact', True)))
     return cfg, mask
 
 

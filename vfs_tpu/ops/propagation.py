@@ -108,6 +108,21 @@ class PropagationConfig(NamedTuple):
     # (jnp.argmax + jnp.max are independent reductions over the same
     # loads — fusable into one traversal, two per pass). Exact both ways.
     video_pass_mode: str = 'maxfirst'
+    # pallas_video engine: 'v2' (round 5: query-frame pairing for full
+    # 128-row MXU matmuls, qi-shifted compact stores that shrink the
+    # sweep width by the mask-dead band, compact transposed outputs that
+    # let r50's full ring fit VMEM in one pass) or 'v1' (round 4, kept
+    # as the exact A/B). All v2 transforms are exact.
+    video_engine: str = 'v2'
+    # v2: consecutive query frames processed per kernel step (matmul
+    # rows = qpair * tile_q). Exact either way. 0 = auto: 2 when the
+    # paired single-pass ring fits VMEM (r18: measured 2.85 vs 3.07
+    # ms/frame), else 1 (r50: pairing measured SLOWER under bank splits,
+    # 8.54 vs 8.21 — the r50 step is not MXU-row-bound and the doubled
+    # score buffer costs prefetch headroom).
+    video_qpair: int = 0
+    # v2: qi-shifted compact score stores (sweep cap kb_cap -> cap_c)
+    video_compact: bool = True
 
 
 def _frame_topk(q_chunk: jnp.ndarray, feat: jnp.ndarray, seg: jnp.ndarray,
@@ -360,7 +375,8 @@ def _propagate_video_decoupled(feats: jnp.ndarray, seg_first: jnp.ndarray,
     local_attention.py:314-334)."""
     from .pallas_affinity_video import (pad_for_video_kernel,
                                         video_kernel_geometry,
-                                        video_topk_affinity)
+                                        video_topk_affinity,
+                                        video_topk_affinity2)
     t_total, h, w, c = feats.shape
     k_classes = seg_first.shape[-1]
     p = cfg.precede_frames
@@ -375,39 +391,76 @@ def _propagate_video_decoupled(feats: jnp.ndarray, seg_first: jnp.ndarray,
     if cfg.pallas_precision == 'bfloat16':
         feats = feats.astype(jnp.bfloat16)
     feats_pad = pad_for_video_kernel(feats, h, w, radius, tile)
+    v2 = cfg.video_engine == 'v2'
+    g = video_kernel_geometry(h, w, radius, tile)
+    nth, ntw, th, tw, tws, kb_cap, r = (g['nth'], g['ntw'], g['th'],
+                                        g['tw'], g['tws'], g['kb_cap'],
+                                        g['r'])
+    cap = (g['cap_c'] if cfg.video_compact else kb_cap) if v2 else kb_cap
     splits = cfg.video_bank_splits
-    if splits is None:
-        # smallest split count whose per-pass key ring + score buffer
-        # fits the VMEM budget (the ring is (window span + 3) blocks)
-        geo = video_kernel_geometry(h, w, radius, tile)
-        block_b = geo['kbh'] * geo['tws'] * c * feats_pad.dtype.itemsize
+    qq = cfg.video_qpair
+    if v2:
+        block_b = g['kbh'] * g['tws'] * c * feats_pad.dtype.itemsize
+        q_n = tile[0] * tile[1]
+        budget = 100 * 2**20
+
+        def fits(n, q):
+            span = -(-p // n)
+            return ((span + 2 * q + 1) * block_b +
+                    q * q_n * (span + q + 1) * cap * 4) < budget
+
+        if qq == 0:
+            # auto (measured, v5e): pairing wins only when the paired
+            # single-pass ring fits VMEM; under bank splits it loses
+            qq = 2 if (splits in (None, 1) and fits(1, 2)
+                       and t_total > 2) else 1
+        if splits is None:
+            splits = 4
+            for n in (1, 2, 3, 4):
+                if fits(n, qq):
+                    splits = n
+                    break
+    elif splits is None:
+        block_b = g['kbh'] * g['tws'] * c * feats_pad.dtype.itemsize
         q_n = tile[0] * tile[1]
         budget = 72 * 2**20
         splits = 4
         for n in (1, 2, 3, 4):
             span = -(-p // n)
             if ((span + 3) * block_b +
-                    q_n * (span + 2) * geo['kb_cap'] * 4) < budget:
+                    q_n * (span + 2) * kb_cap * 4) < budget:
                 splits = n
                 break
-    top_s, top_i = video_topk_affinity(
-        feats_pad, radius=float(radius), temperature=cfg.temperature,
-        topk=topk, precede_frames=p, h=h, w=w, tile=tile,
-        interpret=cfg.pallas_interpret, early_exit=cfg.video_early_exit,
-        extract=cfg.video_extract, bank_splits=int(splits),
-        sweep_rows=cfg.video_sweep_rows, pass_mode=cfg.video_pass_mode)
-
-    g = video_kernel_geometry(h, w, radius, tile)
-    nth, ntw, th, tw, tws, kb_cap, r = (g['nth'], g['ntw'], g['th'],
-                                        g['tw'], g['tws'], g['kb_cap'],
-                                        g['r'])
+    if v2:
+        top_s, top_i = video_topk_affinity2(
+            feats_pad, radius=float(radius), temperature=cfg.temperature,
+            topk=topk, precede_frames=p, h=h, w=w, tile=tile,
+            interpret=cfg.pallas_interpret, bank_splits=int(splits),
+            qpair=int(qq), compact=cfg.video_compact)
+        # (nth, ntw, T, topk, q_n) -> (nth, ntw, T, q_n, topk)
+        top_s = jnp.swapaxes(top_s, 3, 4)
+        top_i = jnp.swapaxes(top_i, 3, 4)
+    else:
+        top_s, top_i = video_topk_affinity(
+            feats_pad, radius=float(radius), temperature=cfg.temperature,
+            topk=topk, precede_frames=p, h=h, w=w, tile=tile,
+            interpret=cfg.pallas_interpret,
+            early_exit=cfg.video_early_exit,
+            extract=cfg.video_extract, bank_splits=int(splits),
+            sweep_rows=cfg.video_sweep_rows,
+            pass_mode=cfg.video_pass_mode)
 
     # ---- decode flat indices -> (source frame, y, x) ----
     # shapes (nth, ntw, T, q_n, topk)
-    j = top_i // kb_cap
-    pos = top_i % kb_cap
+    j = top_i // cap
+    pos = top_i % cap
     a = pos // tws
     b = pos % tws
+    if v2 and cfg.video_compact:
+        # compact lanes are qi-shifted: absolute block row = a_rel + qi
+        q_n = th * tw
+        qi_vec = (jnp.arange(q_n) // tw).reshape(1, 1, 1, q_n, 1)
+        a = a + qi_vec
     oy = (jnp.arange(nth) * th).reshape(nth, 1, 1, 1, 1)
     ox = (jnp.arange(ntw) * tw).reshape(1, ntw, 1, 1, 1)
     ky = jnp.clip(oy + a - r, 0, h - 1)
