@@ -81,6 +81,11 @@ GATES = {
     18: dict(fixture_jf=0.53, bf16_agreement=0.97),
     50: dict(fixture_jf=0.50, bf16_agreement=0.98),
     'pretrain_sps': 32.0,
+    # tracking known-goods (round 5): device path box-identical to the
+    # host path over 6x60-frame sequences (0.00 px after the cv2-bit-
+    # replicating crop redesign); fps floor provisional pending the
+    # batch-mode measurement
+    'tracking': dict(fps=20.0, box_agreement_px=2.0, precision_20=0.95),
 }
 
 META = dict(img_norm_cfg=dict(
@@ -402,6 +407,46 @@ def measure_pretrain(steps=30):
                 loss=round(loss, 4))
 
 
+def measure_tracking(n_seqs=4, n_frames=50, hw=(360, 640), batch=2):
+    """SiamFC tracking block (VERDICT r4 #3): fps for the production
+    dev_batch2 composition (device crops + response post, 2 interleaved
+    streams of track_batch) plus the host_seq parity anchor, on an
+    OTB-layout moving-square fixture at real OTB frame size. Gated on
+    (a) box agreement of the device path against the host-crop path
+    (the differentially-parity-tested mode — the device resize is
+    cv2-bit-replicating, see siamfc_tpu/device_crops.py), (b) OPE
+    precision@20 of the device path against ground truth, and (c) a
+    throughput floor, so a tracking regression FAILS the bench."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'projects', 'siamfc'))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.analysis.bench_track import make_fixture, run_mode
+
+    from siamfc_tpu import eval_metrics
+    from siamfc_tpu.otb import ExperimentOTB, _load_otb_seq
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f'bench_tracking_{n_seqs}x{n_frames}')
+    if not os.path.isdir(root):
+        make_fixture(root, n_seqs, n_frames, hw)
+    exp = ExperimentOTB(root, result_dir=os.path.join(root, 'res'),
+                        report_dir=os.path.join(root, 'rep'))
+    seqs = [_load_otb_seq(d) for d in exp.seq_dirs]
+    pairs = [(f, a[0]) for f, a in seqs]
+    host_fps, host_boxes = run_mode('host_seq', exp, pairs, batch)
+    dev_fps, dev_boxes = run_mode('dev_batch2', exp, pairs, batch)
+    box_dev = max(float(np.abs(dev_boxes[i] - host_boxes[i]).max())
+                  for i in dev_boxes)
+    prec = []
+    for i, (_, anno) in enumerate(seqs):
+        _, p = eval_metrics(dev_boxes[i], anno)
+        prec.append(p[20])
+    return dict(dev_batch2_fps=round(dev_fps, 1),
+                host_seq_fps=round(host_fps, 1),
+                box_agreement_px=round(box_dev, 2),
+                precision_20=round(float(np.mean(prec)), 4))
+
+
 def bench_depth(model, videos, runs, gates):
     """Gates + timed passes for one backbone depth; returns the stats."""
     total_frames = sum(v[0].shape[0] for v in videos)
@@ -494,6 +539,17 @@ def main():
         assert pretrain['steps_per_sec'] >= GATES['pretrain_sps'], \
             f'pretrain throughput regression: {pretrain}'
 
+    tracking = None
+    if os.environ.get('BENCH_TRACKING', '1') != '0':
+        tracking = measure_tracking()
+        g = GATES['tracking']
+        assert tracking['dev_batch2_fps'] >= g['fps'], \
+            f'tracking throughput regression: {tracking}'
+        assert tracking['box_agreement_px'] <= g['box_agreement_px'], \
+            f'device-crop path drifted from host path: {tracking}'
+        assert tracking['precision_20'] >= g['precision_20'], \
+            f'tracking quality regression: {tracking}'
+
     print(json.dumps({
         'metric': 'davis480p_label_propagation_fps_per_chip',
         'value': round(r18['fps'], 2),
@@ -516,6 +572,7 @@ def main():
             **stages,
             'r50': r50_stats,
             'pretrain': pretrain,
+            'tracking': tracking,
             # the knobs the numbers were taken with (traceability)
             'config': {
                 'backbone_dtype': 'bfloat16',

@@ -126,26 +126,25 @@ class TrackerSiamFC:
         return self.head.apply(variables['head'], kernel, xf)
 
     @functools.partial(jax.jit, static_argnames=('self', 'bucket'))
-    def _update_fwd_region(self, variables, kernel, region, offs, sizes,
+    def _update_fwd_region(self, variables, kernel, region, taps,
                            bucket):
         """Whole update step from ONE host-shipped search region per
-        sequence: in-jit scale crops (traced-scalar sampling matmuls) +
-        backbone + xcorr + response post-processing; only (scale_id,
-        peak y, peak x) per sequence return to the host (VERDICT r3 #6 —
-        the host's 3x cv2 crop + 3x cv2 bicubic upsample per frame were
-        the non-amortizing ~15 ms on a 1-core host).
+        sequence: in-jit scale crops (cv2-bit-replicating int32 gather
+        resizes, see device_crops.device_scale_crops) + backbone + xcorr
+        + response post-processing; only (scale_id, peak y, peak x) per
+        sequence return to the host (VERDICT r3 #6 — the host's 3x cv2
+        crop + 3x cv2 bicubic upsample per frame were the non-amortizing
+        ~15 ms on a 1-core host).
 
-        region: (K, bucket, bucket, 3) uint8; offs: (K, S, 2) int32;
-        sizes: (K, S) int32. Crops are flattened scale-major (row s*K+j)
+        region: (K, bucket, bucket, 3) uint8; taps: (K, S, 8, out) int32
+        host-built tap pack. Crops are flattened scale-major (row s*K+j)
         to pair crop (s, j) with kernel j under fast_xcorr's grouping.
         """
         from .device_crops import device_response_post, device_scale_crops
         cfg = self.cfg
         k_seq = region.shape[0]
-        crops = jax.vmap(
-            lambda r, o, s: device_scale_crops(r, o, s,
-                                               cfg['instance_sz']))(
-            region, offs, sizes)                    # (K, S, 255, 255, 3)
+        crops = jax.vmap(device_scale_crops)(
+            region, taps)                           # (K, S, 255, 255, 3)
         x = jnp.swapaxes(crops, 0, 1).reshape(
             -1, cfg['instance_sz'], cfg['instance_sz'], 3)
         x = (x - IMG_MEAN) / IMG_STD
@@ -206,6 +205,22 @@ class TrackerSiamFC:
         return make_region(img, st['center'],
                            st['x_sz'] * self._scale_factors,
                            st['avg_color'])
+
+    def _pad_to_hwm(self, region):
+        """Pad the region to the tracker's bucket high-water mark so the
+        static `bucket` jit arg is monotone across frames/sequences —
+        without this, x_sz drift recompiles _update_fwd_region every time
+        the 64-bucket changes (measured 2.7 fps on 60-frame sequences,
+        pure compile storm). The HWM is seeded with one 64-step of growth
+        slack at init. Padding content is irrelevant: the sampling taps
+        never leave [corner, corner+size)."""
+        b = max(region.shape[0], getattr(self, '_bucket_hwm', 0))
+        if b > region.shape[0]:
+            pad = np.zeros((b, b, 3), region.dtype)
+            pad[:region.shape[0], :region.shape[1]] = region
+            region = pad
+        self._bucket_hwm = b
+        return region
 
     def _apply_peak(self, scale_id, loc, st):
         """State/box update from the device-computed (scale_id, peak):
@@ -278,17 +293,27 @@ class TrackerSiamFC:
     def init(self, img, box):
         """First-frame init (reference :200-243). box is 1-indexed ltwh."""
         self._state, z = self._make_state(img, box)
+        self._seed_bucket_hwm([self._state])
         self.kernel = self._backbone_fwd(
             self.variables, jnp.asarray(z[None]))
+
+    def _seed_bucket_hwm(self, states):
+        from .device_crops import bucket_of
+        s_max = max(float(st['x_sz']) * self._scale_factors[-1]
+                    for st in states)
+        seed = bucket_of(int(round(s_max))) + 64
+        self._bucket_hwm = max(seed, getattr(self, '_bucket_hwm', 0))
 
     def update(self, img):
         """Per-frame tracking step (reference :245-319)."""
         if self.cfg.get('device_crops', True):
+            from .device_crops import make_taps
             region, offs, sizes = self._make_region(img, self._state)
+            region = self._pad_to_hwm(region)
+            taps = make_taps(offs, sizes, self.cfg['instance_sz'])
             sid, ly, lx = self._update_fwd_region(
                 self.variables, self.kernel, jnp.asarray(region[None]),
-                jnp.asarray(offs[None]), jnp.asarray(sizes[None]),
-                bucket=region.shape[0])
+                jnp.asarray(taps[None]), bucket=region.shape[0])
             return self._apply_peak(int(sid[0]),
                                     (int(ly[0]), int(lx[0])), self._state)
         x = jnp.asarray(self._scale_crops(img, self._state))
@@ -345,6 +370,7 @@ class TrackerSiamFC:
                 states.append(st)
                 zs.append(z)
                 boxes[j][0] = seqs[i][1]
+            self._seed_bucket_hwm(states)
             kernels = self._backbone_fwd(
                 self.variables, jnp.asarray(np.stack(zs)))
             init_dt = (time.time() - t0) / k
@@ -354,25 +380,28 @@ class TrackerSiamFC:
             xs = np.zeros((s, k, cfg['instance_sz'], cfg['instance_sz'],
                            3), np.float32)
             regions = [np.zeros((64, 64, 3), np.uint8)] * k
-            offs_arr = np.zeros((k, s, 2), np.int32)
-            sizes_arr = np.ones((k, s), np.int32)
+            taps_arr = np.zeros((k, s, 8, cfg['instance_sz']), np.int32)
             for t in range(1, max(lengths)):
                 begin = time.time()
                 active = [j for j in range(k) if t < lengths[j]]
                 if use_dev:
+                    from .device_crops import make_taps
                     for j in active:
                         img = ops.read_image(files[j][t])
-                        regions[j], offs_arr[j], sizes_arr[j] = \
+                        regions[j], offs_j, sizes_j = \
                             self._make_region(img, states[j])
-                    bucket = max(r.shape[0] for r in regions)
+                        taps_arr[j] = make_taps(offs_j, sizes_j,
+                                                cfg['instance_sz'])
+                    bucket = max(max(r.shape[0] for r in regions),
+                                 self._bucket_hwm)
+                    self._bucket_hwm = bucket
                     reg = np.zeros((k, bucket, bucket, 3), np.uint8)
                     for j in range(k):
                         r = regions[j]
                         reg[j, :r.shape[0], :r.shape[1]] = r
                     sid, ly, lx = self._update_fwd_region(
                         self.variables, kernels, jnp.asarray(reg),
-                        jnp.asarray(offs_arr), jnp.asarray(sizes_arr),
-                        bucket=bucket)
+                        jnp.asarray(taps_arr), bucket=bucket)
                     sid, ly, lx = (np.asarray(sid), np.asarray(ly),
                                    np.asarray(lx))
                     for j in active:

@@ -237,3 +237,35 @@ def test_device_crops_match_host_path(tmp_path):
                         delimiter=',')
         boxes[dev], _ = tracker.track([str(f) for f in files], gt[0])
     np.testing.assert_allclose(boxes[True], boxes[False], atol=1.5)
+
+
+def test_device_scale_crops_bit_exact_vs_cv2():
+    """The in-jit crop resize must replicate cv2's uint8 INTER_LINEAR
+    pipeline (reference ops.py:87-124 host path): bit-exact for
+    downscale crops; upscale crops dispatch to a different cv2
+    SIMD/IPP kernel and are allowed <=0.3% of values off by exactly
+    one LSB (measured ~0.1%)."""
+    from siamfc_tpu import ops
+    from siamfc_tpu.device_crops import (device_scale_crops, make_region,
+                                         make_taps)
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (360, 640, 3), np.uint8)
+    center = np.array([181.3, 322.8], np.float32)
+    avg = img.mean(axis=(0, 1))
+    for sizes, upscale in [([258.9, 280.0, 310.2], False),
+                           ([96.0, 140.5, 200.9], True)]:
+        host = np.stack([
+            ops.crop_and_resize(img, center, s, 255, border_value=avg)
+            for s in sizes]).astype(np.float32)
+        region, offs, sz = make_region(img, center, sizes, avg)
+        taps = make_taps(offs, sz, 255)
+        dev = np.asarray(device_scale_crops(jnp.asarray(region),
+                                            jnp.asarray(taps)))
+        d = np.abs(dev - host)
+        if upscale:
+            assert d.max() <= 1.0 and (d > 0).mean() < 3e-3, \
+                f'upscale crops drifted: max {d.max()} frac {(d > 0).mean()}'
+        else:
+            assert d.max() == 0.0, \
+                f'downscale crops not bit-exact: max {d.max()}'
